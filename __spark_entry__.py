@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG pipeline (pages -> annotate ->
+triples) at sf0.001.  ``queries()``/``oracle_sql()`` expose every
+implemented operator with a DuckDB oracle where SQL-expressible
+(see stanza_spark/queries.py and SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -15,24 +14,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: (subj, pred, obj) triples for the sf0.001 corpus."""
+    from stanza_spark.queries import q_kg_triples
+    return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from stanza_spark.queries import KG_QUERIES
+    out: dict[str, Callable] = {}
+    out.update(KG_QUERIES)
+    try:
+        from stanza_spark.queries_relational import RELATIONAL_QUERIES
+        out.update(RELATIONAL_QUERIES)
+    except ImportError:
+        pass
+    try:
+        from stanza_spark.queries_textops import TEXTOPS_QUERIES
+        out.update(TEXTOPS_QUERIES)
+    except ImportError:
+        pass
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from stanza_spark.queries import kg_oracles
+    out: dict[str, str] = {}
+    out.update(kg_oracles())
+    try:
+        from stanza_spark.queries_relational import relational_oracles
+        out.update(relational_oracles())
+    except ImportError:
+        pass
+    try:
+        from stanza_spark.queries_textops import textops_oracles
+        out.update(textops_oracles())
+    except ImportError:
+        pass
+    return out

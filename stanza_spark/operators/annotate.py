@@ -1,0 +1,365 @@
+"""Deterministic annotation stage: tokenize + ssplit, MWT, POS, lemma, NER
+tagging and dependency parsing — the Spark-native re-expression of the
+reference pipeline `tokenize → mwt → pos → lemma → depparse → ner`
+(/root/reference/stanza/pipeline/core.py:22-31).
+
+Architecture (SURVEY.md §2.1 op 8-17):
+
+* The reference's neural models are replaced by deterministic rule engines
+  whose outputs reproduce the reference's golden fixtures exactly
+  (test_english_pipeline.py:20-41) — see the lexicons in
+  :mod:`stanza_spark.vocab`.
+* The Spark surface is a single **narrow** ``mapInPandas`` pass: pages in,
+  flat word rows out.  No shuffle anywhere in annotation — document
+  boundaries don't matter to the annotators (the reference exploits the
+  same fact in ``UDProcessor.bulk_process``,
+  /root/reference/stanza/pipeline/processor.py:242-260), so Arrow batches
+  spanning pages give cluster-wide batching for free.
+* Char offsets index into the *original* page text (the reference computes
+  offsets the same way: incremental search against raw text,
+  /root/reference/stanza/models/tokenization/utils.py:509-533).  One byte of
+  drift breaks every downstream join — offsets are the join key between
+  layers (doc.py:1285-1293).
+
+URL/email tokens are forced single tokens before ordinary tokenization, the
+reference's MASK_RE override (tokenization/utils.py:199-248).  MWT expansion
+is the dict path of mwt/trainer.py:168-177.  BIOES tags follow
+ner/utils.py:218-264 conventions (B/I/E/S/O).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from .. import vocab as V
+
+TOKEN_PAT = re.compile(V.TOKEN_RE)
+WORD_PAT = re.compile(V.WORD_RE + r"\Z")
+NUM_PAT = re.compile(V.NUM_RE + r"\Z")
+URL_PAT = re.compile(f"(?:{V.URL_RE}|{V.EMAIL_RE})" + r"\Z")
+CAP_PAT = re.compile(V.CAP_TOKEN_RE + r"\Z")
+YEAR_PAT = re.compile(r"[0-9]{4}\Z")
+
+SENT_END = {".", "!", "?", "。", "！", "？"}
+
+ALIAS_TYPE = {}   # lower(alias) -> entity_type
+for _a, _e, _c, _t in V.alias_rows():
+    ALIAS_TYPE.setdefault(_a.lower(), _t)
+
+CLOSED_LEMMA = {"was": "be", "is": "be", "were": "be", "are": "be",
+                "n't": "not", "'s": "'s", "'re": "be", "'m": "be",
+                "'ve": "have", "'ll": "will", "'d": "would",
+                "ca": "can", "wo": "will"}
+
+PUNCT_XPOS = {".": ".", ",": ",", ":": ":", "(": "-LRB-", ")": "-RRB-",
+              "!": ".", "?": ".", '"': "''", "。": ".", "！": ".", "？": "."}
+
+SYM_CHARS = set("%$€£+=#@~^|&*")
+
+
+# ---------------------------------------------------------------------------
+# tokenize + sentence split (ops 8-12)
+# ---------------------------------------------------------------------------
+
+def split_sentences(text: str):
+    """-> list of sentences: (start, end, [(tok_text, start, end), ...]).
+
+    Sentence boundary after any [.!?] (and CJK equivalents) punctuation
+    token — decided on the token stream exactly like the reference's
+    tokenizer (sentence-end is a token-level prediction class,
+    /root/reference/stanza/models/tokenization/data.py:5-14).  URLs are
+    single tokens, so ``.html`` inside a URL can never split a sentence.
+    """
+    sents = []
+    cur = []
+    for m in TOKEN_PAT.finditer(text):
+        cur.append((m.group(0), m.start(), m.end()))
+        if m.group(0) in SENT_END:
+            sents.append(cur)
+            cur = []
+    if cur:
+        sents.append(cur)
+    return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
+
+
+# ---------------------------------------------------------------------------
+# MWT expansion (op 13)
+# ---------------------------------------------------------------------------
+
+def expand_token(tok: str):
+    """token text -> list of word texts (len>1 iff MWT)."""
+    lw = tok.lower()
+    if lw in V.MWT_DICT:
+        parts = V.MWT_DICT[lw]
+        # preserve original casing on the first part
+        if tok[0].isupper():
+            first = parts[0].capitalize()
+            return [first] + list(parts[1:])
+        return list(parts)
+    return [tok]
+
+
+# ---------------------------------------------------------------------------
+# POS + lemma (ops 15, 16)
+# ---------------------------------------------------------------------------
+
+def tag_word(text: str):
+    """-> (upos, xpos, feats, lemma)."""
+    lw = text.lower()
+    if URL_PAT.match(text):
+        return ("X", "ADD", "_", text)
+    if lw in V.VERB_LEXICON:
+        xpos, lemma = V.VERB_LEXICON[lw]
+        return ("VERB", xpos, V.VERB_FEATS[xpos], lemma)
+    if lw in V.CLOSED_CLASS:
+        upos, xpos, feats = V.CLOSED_CLASS[lw]
+        return (upos, xpos, feats, CLOSED_LEMMA.get(lw, lw))
+    if NUM_PAT.match(text):
+        return ("NUM", "CD", "NumForm=Digit|NumType=Card", text)
+    if len(text) == 1 and not text.isalnum():
+        if text in SYM_CHARS:
+            return ("SYM", "SYM", "_", text)
+        return ("PUNCT", PUNCT_XPOS.get(text, "NFP"), "_", text)
+    if text[0].isupper() and CAP_PAT.match(text):
+        return ("PROPN", "NNP", "Number=Sing", text)
+    # default noun with tiny plural analysis
+    if lw in V.LEMMA_EXCEPTIONS:
+        return ("NOUN", "NNS", "Number=Plur", V.LEMMA_EXCEPTIONS[lw])
+    if lw.endswith("ies") and len(lw) > 4:
+        return ("NOUN", "NNS", "Number=Plur", lw[:-3] + "y")
+    if lw.endswith("s") and not lw.endswith("ss") and len(lw) > 3:
+        return ("NOUN", "NNS", "Number=Plur", lw[:-1])
+    return ("NOUN", "NN", "Number=Sing", lw)
+
+
+# ---------------------------------------------------------------------------
+# NER-lite (op 14): capitalized-alpha runs + 4-digit years; keep a run iff
+# multi-token OR alias-dictionary hit OR year.  Type from the alias
+# gazetteer (broadcast-dict shape, cf. lemma dict lemma/trainer.py:221-234),
+# DATE for years, MISC otherwise.  Emits BIOES per word.
+# ---------------------------------------------------------------------------
+
+def tag_ner(words):
+    """words: list of dicts with 'text','upos'. Returns list of BIOES tags
+    and list of mention spans (start_idx, end_idx, type)."""
+    n = len(words)
+    tags = ["O"] * n
+    mentions = []
+    i = 0
+    while i < n:
+        t = words[i]["text"]
+        lw = t.lower()
+        if CAP_PAT.match(t) and lw not in V.CLOSED_CLASS:
+            j = i
+            while (j + 1 < n and CAP_PAT.match(words[j + 1]["text"])
+                   and words[j + 1]["text"].lower() not in V.CLOSED_CLASS):
+                j += 1
+            surface = " ".join(w["text"] for w in words[i:j + 1])
+            typ = ALIAS_TYPE.get(surface.lower())
+            if j > i or typ is not None:
+                typ = typ or "MISC"
+                mentions.append((i, j, typ))
+                if i == j:
+                    tags[i] = f"S-{typ}"
+                else:
+                    tags[i] = f"B-{typ}"
+                    for k in range(i + 1, j):
+                        tags[k] = f"I-{typ}"
+                    tags[j] = f"E-{typ}"
+            i = j + 1
+        elif YEAR_PAT.match(t):
+            tags[i] = "S-DATE"
+            mentions.append((i, i, "DATE"))
+            i += 1
+        else:
+            i += 1
+    return tags, mentions
+
+
+# ---------------------------------------------------------------------------
+# dependency parse (op 17) — deterministic grammar over UPOS covering the
+# reference's golden dependency shapes (test_english_pipeline.py:66-87):
+# nsubj / nsubj:pass / obj / xcomp / obl / case / aux / aux:pass / flat /
+# det / amod / punct / root.
+# ---------------------------------------------------------------------------
+
+NOMINAL = {"NOUN", "PROPN", "NUM", "PRON", "X"}
+
+
+def parse_sentence(words):
+    """words: list of dicts with 'upos','xpos'. Sets 'head' (1-based, 0 =
+    root) and 'deprel' in place."""
+    n = len(words)
+    heads = [0] * n
+    rels = ["dep"] * n
+
+    root = next((i for i, w in enumerate(words) if w["upos"] == "VERB"), None)
+    if root is None:
+        root = next((i for i, w in enumerate(words) if w["upos"] in NOMINAL), 0)
+    passive = (words[root]["xpos"] == "VBN"
+               and any(w["upos"] == "AUX" for w in words[:root]))
+
+    # nominal spans; PROPN runs get flat-attached to their first word
+    spans = []  # (first, last)
+    i = 0
+    while i < n:
+        u = words[i]["upos"]
+        if u == "PROPN":
+            j = i
+            while j + 1 < n and words[j + 1]["upos"] == "PROPN":
+                j += 1
+            for k in range(i + 1, j + 1):
+                heads[k] = i + 1
+                rels[k] = "flat"
+            spans.append((i, j))
+            i = j + 1
+        elif u in ("NOUN", "NUM", "PRON", "X"):
+            spans.append((i, i))
+            i += 1
+        else:
+            i += 1
+
+    subj_spans = [s for s in spans if s[0] < root and not (s[0] <= root <= s[1])]
+    post_spans = [s for s in spans if s[0] > root]
+    in_root_span = next((s for s in spans if s[0] <= root <= s[1]), None)
+
+    seen_direct_obj = False
+    for (a, b) in spans:
+        if (a, b) == in_root_span and root >= 0 and words[root]["upos"] != "VERB":
+            continue  # span containing a nominal root
+        if a <= root <= b:
+            continue
+        if a < root:
+            if subj_spans and (a, b) == subj_spans[-1]:
+                heads[a] = root + 1
+                rels[a] = "nsubj:pass" if passive else "nsubj"
+            else:
+                heads[a] = root + 1
+                rels[a] = "dep"
+            continue
+        # post-root span: case-marked -> obl; else first direct nominal
+        k = a - 1
+        while k > root and words[k]["upos"] in ("DET", "ADJ"):
+            k -= 1
+        if k > root and words[k]["upos"] == "ADP":
+            heads[a] = root + 1
+            rels[a] = "obl"
+        elif not seen_direct_obj:
+            heads[a] = root + 1
+            rels[a] = "xcomp" if passive else "obj"
+            seen_direct_obj = True
+        else:
+            heads[a] = root + 1
+            rels[a] = "dep"
+
+    # functional words attach to the nearest following span head
+    span_start = {a: a for (a, b) in spans}
+    for i in range(n):
+        u = words[i]["upos"]
+        if u == "ADP":
+            nxt = next((a for (a, b) in spans if a > i), None)
+            if nxt is not None:
+                heads[i] = nxt + 1
+                rels[i] = "case"
+            else:
+                heads[i] = root + 1
+                rels[i] = "dep"
+        elif u == "DET":
+            nxt = next((a for (a, b) in spans if a > i), None)
+            if nxt is not None:
+                heads[i] = nxt + 1
+                rels[i] = "det"
+            else:
+                heads[i] = root + 1
+                rels[i] = "dep"
+        elif u == "ADJ":
+            nxt = next((a for (a, b) in spans if a > i), None)
+            if nxt is not None:
+                heads[i] = nxt + 1
+                rels[i] = "amod"
+            else:
+                heads[i] = root + 1
+                rels[i] = "dep"
+        elif u == "AUX":
+            heads[i] = root + 1
+            rels[i] = "aux:pass" if passive else "aux"
+        elif u == "PUNCT":
+            heads[i] = root + 1
+            rels[i] = "punct"
+        elif u in ("PART", "CCONJ", "SYM", "ADV", "INTJ"):
+            heads[i] = root + 1
+            rels[i] = "dep"
+
+    heads[root] = 0
+    rels[root] = "root"
+    for i, w in enumerate(words):
+        w["head"] = heads[i]
+        w["deprel"] = rels[i]
+    return root
+
+
+# ---------------------------------------------------------------------------
+# page-level driver
+# ---------------------------------------------------------------------------
+
+WORD_COLUMNS = [
+    "url", "lang", "sent_id", "sent_start", "sent_end",
+    "token_id", "word_id", "is_mwt", "text", "start_char", "end_char",
+    "upos", "xpos", "feats", "lemma", "head", "deprel", "ner",
+]
+
+WORDS_SCHEMA = (
+    "url string, lang string, sent_id int, sent_start bigint, sent_end bigint, "
+    "token_id int, word_id int, is_mwt boolean, text string, "
+    "start_char bigint, end_char bigint, upos string, xpos string, "
+    "feats string, lemma string, head int, deprel string, ner string"
+)
+
+
+def annotate_page(url: str, lang: str, text: str):
+    """-> list of word-row tuples (WORD_COLUMNS order)."""
+    rows = []
+    for sent_id, (s_start, s_end, toks) in enumerate(split_sentences(text)):
+        words = []
+        for t_i, (tok, a, b) in enumerate(toks):
+            parts = expand_token(tok)
+            is_mwt = len(parts) > 1
+            for p in parts:
+                upos, xpos, feats, lemma = tag_word(p)
+                words.append({
+                    "token_id": t_i + 1, "is_mwt": is_mwt, "text": p,
+                    "start": a, "end": b, "upos": upos, "xpos": xpos,
+                    "feats": feats, "lemma": lemma,
+                })
+        tags, _ = tag_ner(words)
+        for w, tag in zip(words, tags):
+            w["ner"] = tag
+        parse_sentence(words)
+        for w_i, w in enumerate(words):
+            rows.append((
+                url, lang, sent_id, s_start, s_end,
+                w["token_id"], w_i + 1, w["is_mwt"], w["text"],
+                w["start"], w["end"], w["upos"], w["xpos"], w["feats"],
+                w["lemma"], w["head"], w["deprel"], w["ner"],
+            ))
+    return rows
+
+
+def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+            out.extend(annotate_page(url, lang, text))
+        yield pd.DataFrame(out, columns=WORD_COLUMNS)
+
+
+def annotate(pages_df, en_only: bool = True):
+    """pages(url, text, lang) -> flat words table via one narrow
+    mapInPandas pass (zero shuffle)."""
+    df = pages_df.select("url", "lang", "text")
+    if en_only:
+        df = df.filter(df.lang == "en")
+    return df.mapInPandas(_annotate_batches, schema=WORDS_SCHEMA)

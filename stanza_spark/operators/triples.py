@@ -1,0 +1,135 @@
+"""OpenIE-style triple extraction from dependency arcs — pure Spark SQL
+self-joins, no UDF (operator C2, SURVEY §2.3).
+
+The reference's analog is Semgrex patterns run in a Java subprocess per
+document (/root/reference/stanza/server/semgrex.py:53-102, default pattern
+``{}=source >obj=zzz {}=target``); here the same dependency patterns are
+relational joins over the flat words table, so Catalyst plans them and there
+is no per-document IPC at all.
+
+Pattern (anchored to the reference golden parse
+`Obama --nsubj--> attended <--obj-- Harvard` =>
+``(Obama, attend, Harvard)``, test_english_pipeline.py:66-87):
+
+* predicate: any VERB ``v``; pred = lemma(v) (lemma normalization = op 16).
+* subject:   child of ``v`` with deprel nsubj | nsubj:pass.
+* object:    highest-priority child among obj > xcomp > obl (ties: word
+  order) — the first obl is e.g. ``moved to *Tokyo* in 1999``.
+* argument spans expand over ``flat`` children (``Barack <-flat- Obama``),
+  joined in surface order.
+* types: a span that exactly covers a NER mention inherits its type.
+
+Every join keys on (url, sent_id): AQE reuses the one exchange, and the
+arity of each side is O(words).  At 100 TB the words table is pre-hashed on
+url so all five joins co-locate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+
+def spans(words: DataFrame) -> DataFrame:
+    """Span-head rows with flat-expanded surface text.
+
+    -> (url, sent_id, word_id, span_text, last_word_id)
+    """
+    flats = (
+        words.filter(F.col("deprel") == "flat")
+        .groupBy("url", "sent_id", F.col("head").alias("word_id"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("word_id", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("flat_text"),
+            F.max("word_id").alias("flat_last"),
+        )
+    )
+    heads = words.filter(F.col("deprel") != "flat").select(
+        "url", "sent_id", "word_id", "text"
+    )
+    return (
+        heads.join(flats, ["url", "sent_id", "word_id"], "left")
+        .select(
+            "url", "sent_id", "word_id",
+            F.when(
+                F.col("flat_text").isNotNull(),
+                F.concat_ws(" ", F.col("text"), F.col("flat_text")),
+            ).otherwise(F.col("text")).alias("span_text"),
+            F.coalesce("flat_last", "word_id").alias("last_word_id"),
+        )
+    )
+
+
+def extract_triples(words: DataFrame, mentions: DataFrame | None = None) -> DataFrame:
+    """words (+ optional decoded mentions for typing) ->
+    (url, sent_id, subj, pred, obj, subj_type, obj_type)."""
+    verbs = words.filter(F.col("upos") == "VERB").select(
+        "url", "sent_id", F.col("word_id").alias("v_id"),
+        F.col("lemma").alias("pred"),
+    )
+    subj = words.filter(F.col("deprel").isin("nsubj", "nsubj:pass")).select(
+        "url", "sent_id", F.col("head").alias("v_id"),
+        F.col("word_id").alias("s_id"),
+    )
+    objc = (
+        words.filter(F.col("deprel").isin("obj", "xcomp", "obl"))
+        .select(
+            "url", "sent_id", F.col("head").alias("v_id"),
+            F.col("word_id").alias("o_id"),
+            F.when(F.col("deprel") == "obj", 1)
+            .when(F.col("deprel") == "xcomp", 2)
+            .otherwise(3).alias("prio"),
+        )
+    )
+    w = Window.partitionBy("url", "sent_id", "v_id").orderBy("prio", "o_id")
+    best_obj = (
+        objc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "prio")
+    )
+
+    sp = spans(words)
+
+    t = (
+        verbs
+        .join(subj, ["url", "sent_id", "v_id"])
+        .join(best_obj, ["url", "sent_id", "v_id"])
+        .join(
+            sp.select("url", "sent_id",
+                      F.col("word_id").alias("s_id"),
+                      F.col("span_text").alias("subj"),
+                      F.col("last_word_id").alias("s_last")),
+            ["url", "sent_id", "s_id"],
+        )
+        .join(
+            sp.select("url", "sent_id",
+                      F.col("word_id").alias("o_id"),
+                      F.col("span_text").alias("obj"),
+                      F.col("last_word_id").alias("o_last")),
+            ["url", "sent_id", "o_id"],
+        )
+    )
+
+    if mentions is None:
+        return t.select("url", "sent_id", "subj", "pred", "obj")
+
+    ms_subj = mentions.select(
+        "url", "sent_id",
+        F.col("first_word_id").alias("s_id"),
+        F.col("last_word_id").alias("s_last"),
+        F.col("type").alias("subj_type"),
+    )
+    ms_obj = mentions.select(
+        "url", "sent_id",
+        F.col("first_word_id").alias("o_id"),
+        F.col("last_word_id").alias("o_last"),
+        F.col("type").alias("obj_type"),
+    )
+    t = t.join(ms_subj, ["url", "sent_id", "s_id", "s_last"], "left")
+    t = t.join(ms_obj, ["url", "sent_id", "o_id", "o_last"], "left")
+    return t.select("url", "sent_id", "subj", "pred", "obj",
+                    "subj_type", "obj_type")

@@ -1,0 +1,136 @@
+"""Gate-query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus (where SQL-expressible) a
+DuckDB oracle over the same parquet inputs.
+
+This is the correctness contract described in SURVEY.md §5: the Spark side
+runs the real operators (Arrow annotator, SQL decodes, joins, iterative
+connected components); the oracle side reconstructs expected output
+independently — from the template grammar for KG stages, or from plain ANSI
+SQL for relational stages — in a different engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .synth import (
+    Dialect, pages_select, sentences_select, tokens_select,
+    gold_triples_select, gold_mentions_select, gold_pos_lemma_select,
+    gold_links_select, gold_graph_select, gold_components_select,
+)
+from .sources.pages import pages
+from .operators.html import extract_text_expr
+from .operators.annotate import annotate
+from .operators.tokenize_sql import sentences_from_pages, tokens_sql
+from .operators.mentions import decode_mentions
+from .operators.triples import extract_triples
+from .operators.linking import alias_df, link_mentions
+from .operators.canonicalize import canonicalize
+from .operators.graph import materialize_graph
+
+DUCK = Dialect("duckdb")
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline gates
+# ---------------------------------------------------------------------------
+
+def q_kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pages(spark, sf_dir, with_html=False).select("url", "lang", "text")
+
+
+def q_kg_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical boilerplate strip: html binary -> text (C1)."""
+    p = pages(spark, sf_dir, with_html=True)
+    return p.select("url", extract_text_expr(F.col("html")).alias("text"))
+
+
+def q_kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pages(spark, sf_dir, with_html=False)
+    return sentences_from_pages(p).select(
+        "url", "sent_id", "text", "start_char", "end_char")
+
+
+def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = pages(spark, sf_dir, with_html=False)
+    return tokens_sql(sentences_from_pages(p)).select(
+        "url", "sent_id", "token_id", "token")
+
+
+def _words(spark, sf_dir):
+    return annotate(pages(spark, sf_dir, with_html=False))
+
+
+def q_kg_pos_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _words(spark, sf_dir).select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "lemma")
+
+
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_mentions(_words(spark, sf_dir)).select(
+        "url", "sent_id", "mention", "type")
+
+
+def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = decode_mentions(_words(spark, sf_dir))
+    return link_mentions(m, alias_df(spark))
+
+
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _words(spark, sf_dir)
+    m = decode_mentions(w)
+    return extract_triples(w, m)
+
+
+def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _words(spark, sf_dir)
+    t = extract_triples(w)
+    return materialize_graph(t, alias_df(spark))
+
+
+def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide canonicalization via iterative connected components over
+    the alias surfaces of corpus-observed entities."""
+    m = decode_mentions(_words(spark, sf_dir))
+    linked = link_mentions(m, alias_df(spark))
+    entities = linked.select("entity_id").distinct()
+    nodes = (
+        alias_df(spark).join(entities, "entity_id")
+        .select(F.col("alias").alias("mention"), "entity_id")
+    )
+    return canonicalize(nodes)
+
+
+KG_QUERIES = {
+    "kg_pages": q_kg_pages,
+    "kg_extract_text": q_kg_extract_text,
+    "kg_sentences": q_kg_sentences,
+    "kg_tokens": q_kg_tokens,
+    "kg_pos_lemma": q_kg_pos_lemma,
+    "kg_mentions": q_kg_mentions,
+    "kg_links": q_kg_links,
+    "kg_triples": q_kg_triples,
+    "kg_graph_edges": q_kg_graph_edges,
+    "kg_components": q_kg_components,
+}
+
+
+def kg_oracles() -> dict[str, str]:
+    d = DUCK
+    return {
+        "kg_pages": f"SELECT url, lang, text FROM ({pages_select(d)})",
+        "kg_extract_text": f"SELECT url, text FROM ({pages_select(d)})",
+        "kg_sentences": (
+            "SELECT url, sent_id, text, start_char, end_char FROM "
+            f"({sentences_select(d)})"),
+        "kg_tokens": (
+            "SELECT url, sent_id, token_id, token FROM "
+            f"({tokens_select(d)})"),
+        "kg_pos_lemma": gold_pos_lemma_select(d),
+        "kg_mentions": gold_mentions_select(d),
+        "kg_links": gold_links_select(d),
+        "kg_triples": gold_triples_select(d),
+        "kg_graph_edges": gold_graph_select(d),
+        "kg_components": gold_components_select(d),
+    }

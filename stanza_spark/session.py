@@ -1,0 +1,41 @@
+"""SparkSession factory tuned for the KG-construction workload.
+
+Defaults follow the scale design in SURVEY.md §4/§7: AQE on (skew-join
+splitting + dynamic coalescing), Arrow enabled for every pandas UDF path,
+modest shuffle partitioning for local[32] (on a real cluster
+``spark.sql.shuffle.partitions`` scales with executor count; every shuffle
+in this engine keys on url-hash so the setting is a pure throughput knob,
+not a correctness one).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "stanza-spark", cores: int | None = None,
+              shuffle_partitions: int | None = None,
+              extra: dict | None = None) -> SparkSession:
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cores), 8)
+    b = (
+        SparkSession.builder.appName(app)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

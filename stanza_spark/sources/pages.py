@@ -1,0 +1,43 @@
+"""The ``pages`` source table (url, warc_ts, html, text, lang).
+
+Shape fixed by BASELINE.json ``input_hint``.  Content is synthesized
+deterministically from the driver's ``documents`` parquet (doc_id/source/lang
+drive pure modular arithmetic — see :mod:`stanza_spark.synth`), entirely with
+JVM-side Catalyst expressions: no UDF, no RNG, no external data.
+
+``html`` is a binary column wrapping ``text`` in deterministic boilerplate
+(nav/script/footer) so that boilerplate-stripping (`operators.html`) is a
+real, byte-exact-testable stage (north rule: byte-identical extracted text
+per url).  At 100 TB this generation is embarrassingly parallel and
+shuffle-free: one narrow projection per input split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..synth import Dialect, pages_text_expr, url_expr
+from ..operators.html import wrap_html_expr
+
+_SPARK = Dialect("spark")
+
+WARC_EPOCH = 1704067200  # 2024-01-01T00:00:00Z
+
+
+def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def pages(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) + doc_id carried for tests."""
+    df = documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        f"{url_expr(_SPARK)} AS url",
+        f"timestamp_seconds({WARC_EPOCH} + doc_id * 37 % 31536000) AS warc_ts",
+        f"{pages_text_expr(_SPARK)} AS text",
+        "lang",
+    )
+    if with_html:
+        df = df.withColumn("html", wrap_html_expr(F.col("text"), F.col("doc_id")))
+    return df.select("doc_id", "url", "warc_ts",
+                     *( ["html"] if with_html else [] ), "text", "lang")

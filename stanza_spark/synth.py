@@ -1,0 +1,411 @@
+"""Deterministic synthetic ``pages`` corpus, generated as SQL in two dialects.
+
+The north rule pins the input to an Iceberg-style table
+``pages(url, warc_ts, html, text, lang)`` of Common-Crawl-like web pages
+(BASELINE.json ``input_hint``), synthesized deterministically — no external
+data.  We derive the corpus from the driver-provided ``documents`` parquet
+(``doc_id``/``source``/``lang`` only — scale follows the sf), with all content
+a *pure modular-arithmetic function of doc_id*.  Because there is no RNG, the
+exact same corpus is expressible as:
+
+* **Spark SQL** — executed by Catalyst entirely JVM-side (whole-stage
+  codegen, zero Python), used by the pipeline and benchmarks; and
+* **DuckDB SQL** — used as the driver's independent oracle, which makes every
+  downstream stage (sentences, tokens, mentions, triples, graph) end-to-end
+  differential-testable against an engine we don't control.
+
+Both dialects are emitted from the same constants in
+:mod:`stanza_spark.vocab`; divergence between engines is itself a test
+failure.
+
+Reference anchors: the template grammar reproduces the reference's golden
+sentences and dependency shapes (/root/reference/stanza/tests/pipeline/
+test_english_pipeline.py:16-87), e.g. ``(Obama, attend, Harvard)``.
+"""
+
+from __future__ import annotations
+
+from . import vocab as V
+
+
+class Dialect:
+    """Tiny SQL-dialect abstraction for the handful of divergent constructs."""
+
+    def __init__(self, name: str):
+        assert name in ("spark", "duckdb")
+        self.name = name
+
+    # -- literals ----------------------------------------------------------
+    def str_lit(self, s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    def arr(self, items) -> str:
+        inner = ", ".join(self.str_lit(x) for x in items)
+        if self.name == "spark":
+            return f"array({inner})"
+        return f"[{inner}]"
+
+    # -- ops ---------------------------------------------------------------
+    def idx(self, arr_sql: str, i_sql: str) -> str:
+        """1-based indexing with a 0-based index expression."""
+        if self.name == "spark":
+            return f"element_at({arr_sql}, CAST(({i_sql}) AS INT) + 1)"
+        return f"({arr_sql})[({i_sql}) + 1]"
+
+    def cast_str(self, e: str) -> str:
+        t = "STRING" if self.name == "spark" else "VARCHAR"
+        return f"CAST({e} AS {t})"
+
+    def explode_seq(self, lo: str, hi: str, alias: str) -> str:
+        """FROM-clause fragment exploding an integer range [lo, hi]."""
+        if self.name == "spark":
+            return f"LATERAL VIEW explode(sequence({lo}, {hi})) _t AS {alias}"
+        # DuckDB: scalar generate_series in the select list is handled by
+        # callers via select_seq(); this path is for a lateral-style join.
+        raise NotImplementedError
+
+    def transform_join(self, lo: str, hi: str, var: str, body: str, sep: str) -> str:
+        """array_join(transform(sequence(lo,hi), var -> body), sep)."""
+        if self.name == "spark":
+            return (f"array_join(transform(sequence({lo}, {hi}), "
+                    f"{var} -> {body}), {self.str_lit(sep)})")
+        return (f"array_to_string(list_transform(generate_series({lo}, {hi}), "
+                f"{var} -> {body}), {self.str_lit(sep)})")
+
+
+# ---------------------------------------------------------------------------
+# Index expressions (pure functions of doc_id and sentence index I).
+# ---------------------------------------------------------------------------
+
+NT = len(V.TEMPLATES)
+NP, NO, NG = len(V.PERSONS), len(V.ORGS), len(V.GPES)
+
+
+def _ix(slot: str, I: str) -> str:
+    a, b = V.MIX[slot]
+    mod = {"tid": NT, "p": NP, "o": NO, "g": NG, "y": V.YEAR_MOD, "h": 1000}[slot]
+    return f"((doc_id*{a} + ({I})*{b}) % {mod})"
+
+
+def _o2(I: str) -> str:
+    return f"(({_ix('o', I)} + 1 + doc_id % {NO - 1}) % {NO})"
+
+
+def slot_expr(d: Dialect, slot: str, I: str) -> str:
+    """SQL for the surface string of a template slot."""
+    if slot == "P":
+        return d.idx(d.arr(V.PERSONS), _ix("p", I))
+    if slot == "O":
+        return d.idx(d.arr(V.ORGS), _ix("o", I))
+    if slot == "O2":
+        return d.idx(d.arr(V.ORGS), _o2(I))
+    if slot == "G":
+        return d.idx(d.arr(V.GPES), _ix("g", I))
+    if slot == "Y":
+        return d.cast_str(f"{V.YEAR_BASE} + {_ix('y', I)}")
+    if slot == "H":
+        return d.cast_str(_ix("h", I))
+    raise KeyError(slot)
+
+
+def template_text_expr(d: Dialect, parts, I: str) -> str:
+    """concat(...) building one template instance."""
+    frags = []
+    for p in parts:
+        if p in ("P", "O", "O2", "G", "Y", "H"):
+            frags.append(slot_expr(d, p, I))
+        else:
+            frags.append(d.str_lit(p))
+    return "concat(" + ", ".join(frags) + ")"
+
+
+def sent_text_expr(d: Dialect, I: str) -> str:
+    """CASE over language then template id -> sentence text."""
+    en_cases = "".join(
+        f" WHEN {t} THEN {template_text_expr(d, parts, I)}"
+        for t, (parts, _) in enumerate(V.TEMPLATES)
+    )
+    en = f"CASE {_ix('tid', I)}{en_cases} END"
+    lang_cases = "".join(
+        f" WHEN {d.str_lit(lang)} THEN {template_text_expr(d, parts, I)}"
+        for lang, (parts, _) in V.NON_EN_TEMPLATES.items()
+    )
+    return f"CASE lang{lang_cases} ELSE {en} END"
+
+
+N_SENTS = "(doc_id % 3 + 3)"
+URL_EXPR = "concat('https://', source, '.example.org/d/', {cid})"
+
+
+def url_expr(d: Dialect) -> str:
+    return URL_EXPR.format(cid=d.cast_str("doc_id"))
+
+
+def pages_text_expr(d: Dialect) -> str:
+    return d.transform_join("0", f"{N_SENTS} - 1", "i", sent_text_expr(d, "i"),
+                            V.SENT_SEP)
+
+
+def pages_select(d: Dialect) -> str:
+    """SELECT producing pages(url, lang, text [, doc_id]) FROM documents."""
+    return (f"SELECT doc_id, {url_expr(d)} AS url, lang, "
+            f"{pages_text_expr(d)} AS text FROM documents")
+
+
+def sentences_select(d: Dialect) -> str:
+    """pages exploded to (doc_id, url, lang, sent_id, text, start_char,
+    end_char); offsets are char offsets into pages.text (sentences joined by
+    a single space)."""
+    st = sent_text_expr(d, "i")
+    if d.name == "spark":
+        base = (f"SELECT doc_id, {url_expr(d)} AS url, lang, i AS sent_id, "
+                f"{st} AS text FROM documents "
+                f"LATERAL VIEW explode(sequence(0, {N_SENTS} - 1)) _t AS i")
+    else:
+        exploded = (f"SELECT doc_id, {url_expr(d)} AS url, lang, "
+                    f"unnest(generate_series(0, {N_SENTS} - 1)) AS i "
+                    f"FROM documents")
+        base = (f"SELECT doc_id, url, lang, i AS sent_id, {st} AS text "
+                f"FROM ({exploded})")
+    return (
+        "SELECT doc_id, url, lang, sent_id, text, "
+        "CAST(coalesce(sum(length(text) + 1) OVER "
+        "(PARTITION BY doc_id ORDER BY sent_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS start_char, "
+        "CAST(coalesce(sum(length(text) + 1) OVER "
+        "(PARTITION BY doc_id ORDER BY sent_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "+ length(text) AS BIGINT) AS end_char "
+        f"FROM ({base})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gold derivations (oracle side): triples and mentions straight from the
+# template grammar — independent of any parser implementation.
+# ---------------------------------------------------------------------------
+
+def gold_triples_select(d: Dialect) -> str:
+    """(url, sent_id, subj, pred, obj, subj_type, obj_type) for lang='en'."""
+    def case(col_fn):
+        whens = []
+        for t, (parts, triple) in enumerate(V.TEMPLATES):
+            if triple is None:
+                continue
+            whens.append(f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {col_fn(triple)}")
+        return "CASE" + "".join(whens) + " ELSE NULL END"
+
+    def subj(tr):
+        return slot_expr(d, tr[0], "sent_id")
+
+    def pred(tr):
+        return d.str_lit(tr[1])
+
+    def obj(tr):
+        o = tr[2]
+        return slot_expr(d, o, "sent_id") if o in ("P", "O", "O2", "G", "Y") \
+            else d.str_lit(o)
+
+    def styp(tr):
+        return d.str_lit(tr[3]) if tr[3] else "NULL"
+
+    def otyp(tr):
+        return d.str_lit(tr[4]) if tr[4] else "CAST(NULL AS " + \
+            ("STRING" if d.name == "spark" else "VARCHAR") + ")"
+
+    inner = sentences_select(d)
+    return (
+        f"SELECT url, sent_id, {case(subj)} AS subj, {case(pred)} AS pred, "
+        f"{case(obj)} AS obj, {case(styp)} AS subj_type, {case(otyp)} AS obj_type "
+        f"FROM ({inner}) WHERE lang = 'en' AND {case(pred)} IS NOT NULL"
+    )
+
+
+# mention slots per template: list of (slot, type); only capitalized-run or
+# 4-digit-year surface forms qualify (cf. operators.annotate NER-lite rules).
+MENTION_SLOTS = {
+    0: [("P", "PERSON"), ("O", "ORG"), ("Y", "DATE")],
+    1: [("P", "PERSON"), ("G", "GPE")],
+    2: [("P", "PERSON"), ("O", "ORG"), ("G", "GPE")],
+    3: [("O", "ORG"), ("O2", "ORG"), ("Y", "DATE")],
+    4: [("P", "PERSON"), ("G", "GPE"), ("Y", "DATE")],
+    5: [("P", "PERSON"), ("O", "ORG")],
+    6: [("O", "ORG"), ("G", "GPE")],
+    7: [("P", "PERSON"), ("G", "GPE"), ("Y", "DATE")],
+    8: [],
+    9: [("P", "PERSON"), ("Y", "DATE")],
+    10: [("Y", "DATE")],
+}
+
+
+def gold_mentions_select(d: Dialect) -> str:
+    """(url, sent_id, mention, type) for lang='en' — union over slot ranks."""
+    inner = sentences_select(d)
+    max_slots = max(len(s) for s in MENTION_SLOTS.values())
+    branches = []
+    for k in range(max_slots):
+        whens_m, whens_t = [], []
+        for t, slots in MENTION_SLOTS.items():
+            if k < len(slots):
+                slot, typ = slots[k]
+                whens_m.append(
+                    f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {slot_expr(d, slot, 'sent_id')}")
+                whens_t.append(
+                    f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {d.str_lit(typ)}")
+        m = "CASE" + "".join(whens_m) + " ELSE NULL END"
+        ty = "CASE" + "".join(whens_t) + " ELSE NULL END"
+        branches.append(
+            f"SELECT url, sent_id, {m} AS mention, {ty} AS type "
+            f"FROM ({inner}) WHERE lang = 'en' AND ({m}) IS NOT NULL")
+    return " UNION ALL ".join(branches)
+
+
+def alias_values_cte(d: Dialect) -> str:
+    """Inline VALUES table for the entity-linking alias dictionary."""
+    rows = ", ".join(
+        f"({d.str_lit(a)}, {d.str_lit(e)}, {d.str_lit(c)}, {d.str_lit(t)})"
+        for a, e, c, t in V.alias_rows()
+    )
+    return (f"(SELECT * FROM (VALUES {rows}) "
+            f"AS alias_dict(alias, entity_id, canonical_name, entity_type))")
+
+
+# ---------------------------------------------------------------------------
+# Token / POS / lemma oracles (DuckDB side of the differential test; the
+# Spark side is the real annotator / SQL tokenizer).
+# ---------------------------------------------------------------------------
+
+def tokens_select(d: Dialect) -> str:
+    """(url, lang, sent_id, token_id, token) — regex tokenization of the
+    synthesized sentences."""
+    inner = sentences_select(d)
+    pat = d.str_lit(V.TOKEN_RE)
+    if d.name == "spark":
+        return (
+            "SELECT url, lang, sent_id, pos + 1 AS token_id, token FROM "
+            f"(SELECT url, lang, sent_id, "
+            f"posexplode(regexp_extract_all(text, {pat}, 0)) AS (pos, token) "
+            f"FROM ({inner}))"
+        )
+    return (
+        "SELECT url, lang, sent_id, "
+        "generate_subscripts(toks, 1) AS token_id, unnest(toks) AS token "
+        f"FROM (SELECT url, lang, sent_id, "
+        f"regexp_extract_all(text, {pat}) AS toks FROM ({inner}))"
+    )
+
+
+def _in_list(d: Dialect, expr: str, values) -> str:
+    return f"{expr} IN (" + ", ".join(d.str_lit(v) for v in values) + ")"
+
+
+def _case_map(d: Dialect, expr: str, mapping: dict, default: str) -> str:
+    whens = "".join(
+        f" WHEN {d.str_lit(k)} THEN {d.str_lit(v)}" for k, v in mapping.items())
+    return f"CASE {expr}{whens} ELSE {default} END"
+
+
+def gold_pos_lemma_select(d: Dialect) -> str:
+    """(url, sent_id, word_id, word, upos, lemma) for lang='en' — the rule
+    tagger/lemmatizer (operators.annotate.tag_word) re-expressed in SQL.
+    DuckDB dialect only (Spark side runs the real annotator)."""
+    assert d.name == "duckdb"
+    toks = tokens_select(d)
+    full = lambda pat: f"regexp_full_match(token, {d.str_lit(pat)})"
+    lw = "lower(token)"
+
+    closed_by_upos = {}
+    for w, (upos, _x, _f) in V.CLOSED_CLASS.items():
+        closed_by_upos.setdefault(upos, []).append(w)
+    closed_upos = "".join(
+        f" WHEN {_in_list(d, lw, ws)} THEN {d.str_lit(u)}"
+        for u, ws in closed_by_upos.items())
+
+    sym_list = list("%$€£+=#@~^|&*")
+    upos = (
+        "CASE "
+        f"WHEN {full('(?:' + V.URL_RE + '|' + V.EMAIL_RE + ')')} THEN 'X' "
+        f"WHEN {_in_list(d, lw, list(V.VERB_LEXICON))} THEN 'VERB' "
+        f"{'WHEN' + closed_upos[5:] if closed_upos else ''} "
+        f"WHEN {full(V.NUM_RE)} THEN 'NUM' "
+        f"WHEN length(token) = 1 AND NOT {full('[A-Za-z0-9]')} THEN "
+        f"(CASE WHEN {_in_list(d, 'token', sym_list)} THEN 'SYM' ELSE 'PUNCT' END) "
+        f"WHEN {full('[A-Z][A-Za-z]*')} THEN 'PROPN' "
+        "ELSE 'NOUN' END"
+    )
+
+    verb_lemma = _case_map(d, lw, {k: v[1] for k, v in V.VERB_LEXICON.items()}, "token")
+    closed_lemma_map = {}
+    from .operators.annotate import CLOSED_LEMMA
+    for w in V.CLOSED_CLASS:
+        closed_lemma_map[w] = CLOSED_LEMMA.get(w, w)
+    closed_lemma = _case_map(d, lw, closed_lemma_map, lw)
+    exc = _case_map(d, lw, dict(V.LEMMA_EXCEPTIONS), "NULL")
+    noun_lemma = (
+        f"coalesce(nullif({exc}, 'NULL'), "
+        f"CASE WHEN {lw} LIKE '%ies' AND length(token) > 4 "
+        f"THEN substr({lw}, 1, length(token) - 3) || 'y' "
+        f"WHEN {lw} LIKE '%s' AND {lw} NOT LIKE '%ss' AND length(token) > 3 "
+        f"THEN substr({lw}, 1, length(token) - 1) "
+        f"ELSE {lw} END)"
+    )
+    # NB: exceptions map never contains the literal 'NULL', so nullif is safe.
+    lemma = (
+        "CASE "
+        f"WHEN upos IN ('X', 'NUM', 'PUNCT', 'SYM', 'PROPN') THEN token "
+        f"WHEN upos = 'VERB' THEN {verb_lemma} "
+        f"WHEN upos = 'NOUN' THEN {noun_lemma} "
+        f"ELSE {closed_lemma} END"
+    )
+    return (
+        f"SELECT url, sent_id, token_id AS word_id, token AS word, upos, "
+        f"{lemma} AS lemma FROM "
+        f"(SELECT *, {upos} AS upos FROM ({toks}) WHERE lang = 'en')"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Linking / graph / components oracles.
+# ---------------------------------------------------------------------------
+
+def gold_links_select(d: Dialect) -> str:
+    m = gold_mentions_select(d)
+    a = alias_values_cte(d)
+    return (
+        f"SELECT m.url, m.sent_id, m.mention, m.type, a.entity_id, "
+        f"a.canonical_name, a.entity_type "
+        f"FROM ({m}) m JOIN {a} a ON lower(m.mention) = lower(a.alias)"
+    )
+
+
+def gold_graph_select(d: Dialect) -> str:
+    t = gold_triples_select(d)
+    a = alias_values_cte(d)
+    return (
+        f"SELECT subj_canon, pred, obj_canon, count(*) AS support FROM ("
+        f"SELECT coalesce(sa.entity_id, lower(t.subj)) AS subj_canon, t.pred, "
+        f"coalesce(oa.entity_id, lower(t.obj)) AS obj_canon "
+        f"FROM ({t}) t "
+        f"LEFT JOIN {a} sa ON lower(t.subj) = lower(sa.alias) "
+        f"LEFT JOIN {a} oa ON lower(t.obj) = lower(oa.alias)"
+        f") GROUP BY subj_canon, pred, obj_canon"
+    )
+
+
+def gold_components_select(d: Dialect) -> str:
+    """(node, component_id, representative): nodes are all dictionary
+    aliases of entities observed (linked) in the corpus; components group
+    aliases of one entity; representative = longest surface, ties lexical
+    (coref_chain.py:66-69 rule)."""
+    links = gold_links_select(d)
+    a = alias_values_cte(d)
+    return (
+        f"SELECT node, component_id, "
+        f"first_value(node) OVER (PARTITION BY component_id "
+        f"ORDER BY length(node) DESC, node ASC) AS representative FROM ("
+        f"SELECT node, min(node) OVER (PARTITION BY entity_id) AS component_id "
+        f"FROM (SELECT DISTINCT lower(a.alias) AS node, a.entity_id "
+        f"FROM {a} a JOIN (SELECT DISTINCT entity_id FROM ({links})) e "
+        f"ON a.entity_id = e.entity_id))"
+    )

@@ -1,0 +1,265 @@
+"""Shared deterministic vocabulary + template grammar for the synthetic
+Common-Crawl-style ``pages`` corpus, and the rule lexicons used by the
+deterministic annotators.
+
+This module is the single source of truth consumed by
+
+* :mod:`stanza_spark.synth` — generates the *same* corpus as SQL in both the
+  Spark dialect (executed by Catalyst, JVM-side) and the DuckDB dialect
+  (the driver's oracle), so every stage of the KG pipeline is
+  differential-testable;
+* :mod:`stanza_spark.operators.annotate` — the tokenizer / POS / lemma /
+  NER / depparse rule engines (deterministic stand-ins for the reference's
+  neural models, cf. /root/reference/stanza/pipeline/*_processor.py).
+
+Entity vocabulary mirrors the reference's golden fixtures
+(/root/reference/stanza/tests/pipeline/test_english_pipeline.py:16 —
+"Barack Obama was born in Hawaii." etc.) so parity with the reference's
+hardcoded expected annotations is testable verbatim.
+
+Everything here is plain data; no randomness — corpus content is a pure
+function of ``doc_id`` via modular arithmetic (seeded determinism without an
+RNG so SQL can reproduce it).
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# Entity vocabulary.  Constraints relied on elsewhere:
+#  * every token of every name is capitalized alpha ([A-Z][A-Za-z]*);
+#  * person surnames, org first-tokens and GPE names are pairwise unique
+#    (alias dictionary keys must be unambiguous);
+#  * "Barack Obama" / "Harvard University" / "Hawaii" reproduce the
+#    reference goldens (test_english_pipeline.py:20-41).
+# --------------------------------------------------------------------------
+
+PERSONS = [
+    "Barack Obama", "Marie Curie", "Alan Turing", "Ada Lovelace",
+    "Grace Hopper", "Albert Einstein", "Rosalind Franklin", "Isaac Newton",
+    "Charles Darwin", "Jane Goodall", "Nelson Mandela", "Frida Kahlo",
+]
+
+ORGS = [
+    "Harvard University", "Stanford University", "Acme Corporation",
+    "Globex Corporation", "Initech", "Hooli", "Wayne Enterprises",
+    "Stark Industries", "Umbrella Corporation", "Cyberdyne Systems",
+]
+
+GPES = [
+    "Hawaii", "Paris", "London", "Berlin", "Tokyo", "Nairobi",
+    "Toronto", "Madrid", "Oslo", "Cairo", "Sydney", "Lima",
+]
+
+YEAR_BASE = 1950
+YEAR_MOD = 70  # years in [1950, 2019]
+
+# Canonical entity ids: P<i>, O<i>, G<i>.
+def person_id(i: int) -> str:
+    return f"P{i}"
+
+def org_id(i: int) -> str:
+    return f"O{i}"
+
+def gpe_id(i: int) -> str:
+    return f"G{i}"
+
+
+def alias_rows():
+    """(alias, entity_id, canonical_name, entity_type) rows.
+
+    Aliases: full name; person surname (last token); org first token
+    ("Harvard" -> Harvard University, matching the reference golden
+    Harvard/S-ORG, test_english_pipeline.py:118).
+    """
+    rows = []
+    for i, name in enumerate(PERSONS):
+        rows.append((name, person_id(i), name, "PERSON"))
+        last = name.split()[-1]
+        rows.append((last, person_id(i), name, "PERSON"))
+    for i, name in enumerate(ORGS):
+        rows.append((name, org_id(i), name, "ORG"))
+        first = name.split()[0]
+        if first != name:
+            rows.append((first, org_id(i), name, "ORG"))
+    for i, name in enumerate(GPES):
+        rows.append((name, gpe_id(i), name, "GPE"))
+    return rows
+
+
+# --------------------------------------------------------------------------
+# Sentence templates.  Each template is a list of parts; parts are either
+# literal strings or slot names in {P, O, O2, G, Y, H}.  TRIPLE gives the
+# (subj_slot, pred_lemma, obj_slot_or_literal, subj_type, obj_type) the
+# template entails, or None.  Slots O/O2 draw from ORGS, P from PERSONS,
+# G from GPES, Y is a year, H a small int used in URLs.
+#
+# The dependency shapes intentionally cover the reference goldens:
+# nsubj / nsubj:pass / obj / xcomp / obl / case / aux:pass / flat / punct
+# (test_english_pipeline.py:66-87).
+# --------------------------------------------------------------------------
+
+TEMPLATES = [
+    # 0: active transitive + oblique year      (Obama attended Harvard.)
+    (["P", " attended ", "O", " in ", "Y", "."], ("P", "attend", "O", "PERSON", "ORG")),
+    # 1: passive + oblique GPE                 (Barack Obama was born in Hawaii.)
+    (["P", " was born in ", "G", "."], ("P", "bear", "G", "PERSON", "GPE")),
+    # 2: active transitive + oblique GPE
+    (["P", " founded ", "O", " in ", "G", "."], ("P", "found", "O", "PERSON", "ORG")),
+    # 3: org-org transitive
+    (["O", " acquired ", "O2", " in ", "Y", "."], ("O", "acquire", "O2", "ORG", "ORG")),
+    # 4: oblique-only verb (to-PP), first obl wins
+    (["P", " moved to ", "G", " in ", "Y", "."], ("P", "move", "G", "PERSON", "GPE")),
+    # 5: oblique-only verb (at-PP)
+    (["P", " works at ", "O", "."], ("P", "work", "O", "PERSON", "ORG")),
+    # 6: passive + oblique GPE, org subject
+    (["O", " is based in ", "G", "."], ("O", "base", "G", "ORG", "GPE")),
+    # 7: active transitive GPE object? no — obl via 'in'? 'visited' is transitive:
+    (["P", " visited ", "G", " in ", "Y", "."], ("P", "visit", "G", "PERSON", "GPE")),
+    # 8: URL token exercise, no subject -> no triple
+    (["See https://example.org/kb/", "H", ".html for details."], None),
+    # 9: passive + xcomp                       (He was elected president in 2008.)
+    (["P", " was elected president in ", "Y", "."], ("P", "elect", "president", "PERSON", None)),
+    # 10: html-escaping exercise (&, <, >), no verb -> no triple
+    (["Costs rose 5% & more <fast> in ", "Y", "."], None),
+]
+
+# Non-English filler sentences, one per language (exercise the
+# byte-identical-extraction invariant with non-ASCII bytes).
+NON_EN_TEMPLATES = {
+    "de": (["Der Bericht wurde im Jahr ", "Y", " veröffentlicht."], None),
+    "es": (["El informe fue publicado en ", "Y", "."], None),
+    "fr": (["Le rapport a été publié en ", "Y", "."], None),
+    "zh": (["数据 报告 于 ", "Y", " 年 发布 。"], None),
+}
+
+# Mixing constants (arbitrary coprime multipliers; pure functions of
+# (doc_id, sent_idx) so DuckDB can reproduce them).
+MIX = {
+    "n_sents": ("doc_id % 3 + 3", None),     # 3..5 sentences per page
+    "tid":  (7, 13),    # template index   = (doc_id*7  + i*13) % len(TEMPLATES)
+    "p":    (11, 17),   # person index     = (doc_id*11 + i*17) % len(PERSONS)
+    "o":    (13, 19),   # org index        = (doc_id*13 + i*19) % len(ORGS)
+    "g":    (17, 23),   # gpe index        = (doc_id*17 + i*23) % len(GPES)
+    "y":    (7, 29),    # year offset      = (doc_id*7  + i*29) % YEAR_MOD
+    "h":    (31, 1),    # url id           = (doc_id*31 + i)    % 1000
+}
+# o2 = (o + 1 + doc_id % (len(ORGS)-1)) % len(ORGS)  -> always != o
+
+SENT_SEP = " "  # single space joins sentences within a page
+
+
+# --------------------------------------------------------------------------
+# Tokenization regexes.  RE2-compatible AND java.util.regex-compatible:
+# no lookarounds, no backreferences — leftmost alternation wins in both.
+# URL/email forced single tokens mirrors the reference's MASK_RE override
+# (/root/reference/stanza/models/tokenization/utils.py:199-248).
+# --------------------------------------------------------------------------
+
+URL_RE = r"https?://[^\s<>\"]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?"
+NUM_RE = r"[0-9]+(?:[.,][0-9]+)*"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+TOKEN_RE = f"{URL_RE}|{EMAIL_RE}|{WORD_RE}|{NUM_RE}|{PUNCT_RE}"
+
+SENT_END_CHARS = {".", "!", "?"}
+
+# Capitalized-token run (NER-lite mention candidate) + 4-digit year.
+CAP_TOKEN_RE = r"[A-Z][A-Za-z]*"
+MENTION_RE = rf"{CAP_TOKEN_RE}(?: {CAP_TOKEN_RE})*"
+YEAR_MENTION_RE = r"[0-9]{4}"
+
+
+# --------------------------------------------------------------------------
+# POS / lemma / MWT lexicons (deterministic stand-ins for the reference's
+# neural taggers; entries chosen to reproduce the reference goldens
+# test_english_pipeline.py:20-41 exactly).
+# Format: word(lower) -> (upos, xpos, feats)
+# --------------------------------------------------------------------------
+
+CLOSED_CLASS = {
+    "the": ("DET", "DT", "Definite=Def|PronType=Art"),
+    "a": ("DET", "DT", "Definite=Ind|PronType=Art"),
+    "an": ("DET", "DT", "Definite=Ind|PronType=Art"),
+    "in": ("ADP", "IN", "_"),
+    "at": ("ADP", "IN", "_"),
+    "to": ("ADP", "IN", "_"),
+    "of": ("ADP", "IN", "_"),
+    "for": ("ADP", "IN", "_"),
+    "on": ("ADP", "IN", "_"),
+    "from": ("ADP", "IN", "_"),
+    "by": ("ADP", "IN", "_"),
+    "was": ("AUX", "VBD", "Mood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin"),
+    "were": ("AUX", "VBD", "Mood=Ind|Number=Plur|Person=3|Tense=Past|VerbForm=Fin"),
+    "is": ("AUX", "VBZ", "Mood=Ind|Number=Sing|Person=3|Tense=Pres|VerbForm=Fin"),
+    "are": ("AUX", "VBP", "Mood=Ind|Number=Plur|Person=3|Tense=Pres|VerbForm=Fin"),
+    "be": ("AUX", "VB", "VerbForm=Inf"),
+    "he": ("PRON", "PRP", "Case=Nom|Gender=Masc|Number=Sing|Person=3|PronType=Prs"),
+    "she": ("PRON", "PRP", "Case=Nom|Gender=Fem|Number=Sing|Person=3|PronType=Prs"),
+    "it": ("PRON", "PRP", "Case=Nom|Gender=Neut|Number=Sing|Person=3|PronType=Prs"),
+    "they": ("PRON", "PRP", "Case=Nom|Number=Plur|Person=3|PronType=Prs"),
+    "and": ("CCONJ", "CC", "_"),
+    "or": ("CCONJ", "CC", "_"),
+    "not": ("PART", "RB", "_"),
+    "n't": ("PART", "RB", "_"),
+    "more": ("ADJ", "JJR", "Degree=Cmp"),
+    "ca": ("AUX", "MD", "VerbForm=Fin"),     # MWT stem of can't
+    "wo": ("AUX", "MD", "VerbForm=Fin"),     # MWT stem of won't
+    "do": ("AUX", "VBP", "Mood=Ind|Tense=Pres|VerbForm=Fin"),
+    "does": ("AUX", "VBZ", "Mood=Ind|Number=Sing|Person=3|Tense=Pres|VerbForm=Fin"),
+}
+
+# verb(lower) -> (xpos, lemma); upos is VERB.
+VERB_LEXICON = {
+    "attended": ("VBD", "attend"),
+    "founded": ("VBD", "found"),
+    "acquired": ("VBD", "acquire"),
+    "moved": ("VBD", "move"),
+    "visited": ("VBD", "visit"),
+    "works": ("VBZ", "work"),
+    "born": ("VBN", "bear"),
+    "elected": ("VBN", "elect"),
+    "based": ("VBN", "base"),
+    "see": ("VB", "see"),
+    "go": ("VB", "go"),
+}
+
+VBD_FEATS = "Mood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin"
+VBN_FEATS = "Tense=Past|VerbForm=Part|Voice=Pass"
+VBZ_FEATS = "Mood=Ind|Number=Sing|Person=3|Tense=Pres|VerbForm=Fin"
+VB_FEATS = "VerbForm=Inf"
+VERB_FEATS = {"VBD": VBD_FEATS, "VBN": VBN_FEATS, "VBZ": VBZ_FEATS, "VB": VB_FEATS}
+
+LEMMA_EXCEPTIONS = {
+    # non-verb irregulars (verbs come from VERB_LEXICON)
+    "men": "man", "women": "woman", "children": "child", "feet": "foot",
+}
+
+# Multi-word-token expansions (reference: tuple token ids + MWT=Yes misc,
+# /root/reference/stanza/models/common/doc.py:27-28; dict-based expansion
+# mirrors /root/reference/stanza/models/mwt/trainer.py:168-177).
+MWT_DICT = {
+    "can't": ["ca", "n't"],
+    "won't": ["wo", "n't"],
+    "don't": ["do", "n't"],
+    "doesn't": ["does", "n't"],
+    "isn't": ["is", "n't"],
+    "wasn't": ["was", "n't"],
+    "it's": ["it", "'s"],
+    "he's": ["he", "'s"],
+    "she's": ["she", "'s"],
+    "they're": ["they", "'re"],
+    "we're": ["we", "'re"],
+    "i'm": ["i", "'m"],
+    "you'll": ["you", "'ll"],
+    "i've": ["i", "'ve"],
+    "they'd": ["they", "'d"],
+}
+
+# English stopwords for quality scoring / language-id heuristics.
+STOPWORDS = {
+    "en": ["the", "and", "of", "in", "to", "was", "is", "for", "at", "a"],
+    "de": ["der", "die", "das", "und", "im", "wurde", "jahr", "von", "mit", "ein"],
+    "es": ["el", "la", "de", "en", "fue", "los", "las", "por", "con", "un"],
+    "fr": ["le", "la", "de", "en", "été", "les", "des", "par", "avec", "un"],
+}
