@@ -1,0 +1,119 @@
+"""Spark-level operator tests: html round-trip, BIOES SQL decode vs the
+tagger, triple SQL on the reference golden doc, connected components,
+tokenizer-path parity, cross-engine corpus parity."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+from stanza_spark.operators.html import wrap_html_expr, extract_text_expr
+from stanza_spark.operators.annotate import annotate, WORDS_SCHEMA
+from stanza_spark.operators.tokenize_sql import sentences_from_pages, tokens_sql
+from stanza_spark.operators.mentions import decode_mentions
+from stanza_spark.operators.triples import extract_triples
+from stanza_spark.operators.linking import alias_df, link_mentions, unlinked_mentions
+from stanza_spark.operators.canonicalize import connected_components
+from stanza_spark.sources.pages import pages
+
+
+def test_html_roundtrip_bytes(spark):
+    texts = [
+        "plain text",
+        "escaping & <tags> > less < amp && <<>>&amp;",
+        "unicode: veröffentlicht — 数据 报告 。 émile",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = (df.withColumn("html", wrap_html_expr(F.col("text"), F.col("doc_id")))
+             .withColumn("rt", extract_text_expr(F.col("html"))))
+    for r in out.collect():
+        assert r.rt == r.text
+
+
+def test_extract_text_byte_identical_corpus(spark):
+    p = pages(spark, SF_SMOKE, with_html=True)
+    bad = p.withColumn("rt", extract_text_expr(F.col("html"))) \
+           .filter(F.col("rt") != F.col("text")).count()
+    assert bad == 0
+
+
+def test_bioes_sql_decode_matches_reference_golden(spark):
+    doc = ("Barack Obama was born in Hawaii.  He was elected president in "
+           "2008.  Obama attended Harvard.")
+    df = spark.createDataFrame([("u", "en", doc)], "url string, lang string, text string")
+    m = decode_mentions(annotate(df)).orderBy("sent_id", "first_word_id").collect()
+    got = [(r.sent_id, r.mention, r.type, r.start_char, r.end_char) for r in m]
+    # golden entities with exact offsets (test_pipeline_ner_processor.py:14-41)
+    assert got == [
+        (0, "Barack Obama", "PERSON", 0, 12),
+        (0, "Hawaii", "GPE", 25, 31),
+        (1, "2008", "DATE", 62, 66),
+        (2, "Obama", "PERSON", 69, 74),
+        (2, "Harvard", "ORG", 84, 91),
+    ]
+
+
+def test_triples_on_reference_golden(spark):
+    doc = ("Barack Obama was born in Hawaii.  He was elected president in "
+           "2008.  Obama attended Harvard.")
+    df = spark.createDataFrame([("u", "en", doc)], "url string, lang string, text string")
+    w = annotate(df)
+    t = extract_triples(w, decode_mentions(w)).orderBy("sent_id").collect()
+    got = [(r.sent_id, r.subj, r.pred, r.obj, r.subj_type, r.obj_type) for r in t]
+    assert got == [
+        (0, "Barack Obama", "bear", "Hawaii", "PERSON", "GPE"),
+        (1, "He", "elect", "president", None, None),
+        (2, "Obama", "attend", "Harvard", "PERSON", "ORG"),
+    ]
+
+
+def test_linking_and_anti_join(spark):
+    doc = "Obama attended Harvard. Zorbly Qux visited Paris."
+    df = spark.createDataFrame([("u", "en", doc)], "url string, lang string, text string")
+    m = decode_mentions(annotate(df))
+    a = alias_df(spark)
+    linked = {r.mention: r.entity_id for r in link_mentions(m, a).collect()}
+    assert linked["Obama"] == "P0" and linked["Harvard"] == "O0"
+    assert linked["Paris"] == "G1"
+    residue = [r.mention for r in unlinked_mentions(m, a).collect()]
+    assert residue == ["Zorbly Qux"]
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string")
+    nodes = spark.createDataFrame([("a",), ("b",), ("c",), ("d",),
+                                   ("x",), ("y",), ("lone",)], "node string")
+    comp = {r.node: r.component_id
+            for r in connected_components(edges, nodes).collect()}
+    assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
+                    "x": "x", "y": "x", "lone": "lone"}
+
+
+def test_arrow_vs_sql_tokenizer_parity(spark):
+    p = pages(spark, SF_SMOKE, with_html=False)
+    sql_toks = tokens_sql(sentences_from_pages(p)) \
+        .filter(F.col("lang") == "en") \
+        .select("url", "sent_id", "token_id", "token")
+    w = annotate(p)
+    # reconstruct token stream from words (MWT-free corpus: 1 word = 1 token)
+    arrow_toks = w.select("url", "sent_id",
+                          F.col("token_id"), F.col("text").alias("token"))
+    diff = sql_toks.exceptAll(arrow_toks).count() + \
+        arrow_toks.exceptAll(sql_toks).count()
+    assert diff == 0
+
+
+def test_spark_duckdb_corpus_parity(spark, duck):
+    from stanza_spark.synth import (Dialect, pages_select, sentences_select,
+                                    gold_triples_select)
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    sp, du = Dialect("spark"), Dialect("duckdb")
+    for fn in (pages_select, sentences_select, gold_triples_select):
+        a = sorted(map(tuple, spark.sql(fn(sp)).collect()))
+        b = sorted(map(tuple, duck.execute(fn(du)).fetchall()))
+        assert a == b, fn.__name__
