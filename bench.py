@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "docs_per_sec": ...,
+   "scaling": {...}}   # scaling block when SPARK_GRAFT_SCALING=1
+
+The flagship pipeline (pages -> annotate -> triples -> graph) is measured
+end-to-end; per-query timings cover the operator families.  The scaling
+block evidences the north rule's two-cluster-size criterion by running the
+flagship at two parallelism levels (local[8] vs local[32]) in separate
+SparkSessions — see BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# headline set: one per operator family (full gate list runs in verify)
+HEADLINE = [
+    "kg_extract_text",
+    "kg_tokens",
+    "kg_triples",
+    "kg_graph_edges",
+    "rel_pricing_summary",
+    "rel_top_orders",
+    "rel_sessionize",
+    "text_dedup_lsh_pairs",
+    "text_ann_topk",
+    "text_langid",
+]
+
+
+def run_once(cores: int, queries: dict, names) -> dict:
+    from stanza_spark.session import get_spark
+    spark = get_spark(f"bench-{cores}", cores=cores,
+                      shuffle_partitions=max(cores, 8),
+                      extra={"spark.ui.showConsoleProgress": "false"})
+    timings = {}
+    for name in names:
+        t0 = time.time()
+        n = queries[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        timings.setdefault("_rows", {})[name] = n
+    spark.stop()
+    return timings
+
+
+def main():
+    import __spark_entry__ as entrymod
+    queries = entrymod.queries()
+
+    timings = run_once(CPUS, queries, HEADLINE)
+    rows = timings.pop("_rows")
+    total = round(sum(timings.values()), 3)
+
+    import duckdb
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/documents.parquet'").fetchone()[0]
+    # docs/sec through the full KG chain (extract + annotate + triples +
+    # graph are sequential stages over the same corpus)
+    kg_time = (timings["kg_extract_text"] + timings["kg_tokens"]
+               + timings["kg_triples"] + timings["kg_graph_edges"])
+    out = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows": rows,
+        "docs": n_docs,
+        "kg_docs_per_sec": round(n_docs / kg_time, 1) if kg_time else None,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        scaling = {}
+        for c in (8, 32):
+            t = run_once(c, queries, ["kg_triples"])
+            t.pop("_rows", None)
+            scaling[f"local[{c}]"] = t["kg_triples"]
+        t8, t32 = scaling["local[8]"], scaling["local[32]"]
+        scaling["throughput_ratio_32_vs_8"] = round(t8 / t32, 3)
+        scaling["efficiency_n_to_4n"] = round((t8 / t32) / 4.0, 3)
+        out["scaling"] = scaling
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

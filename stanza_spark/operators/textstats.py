@@ -1,0 +1,114 @@
+"""Text-analysis operators for training-data curation: heuristic language
+ID (stopword voting, the shape of the reference's langid processor,
+/root/reference/stanza/pipeline/langid_processor.py:84-111, with the
+char-BiLSTM swapped for a deterministic lexicon vote), quality scoring,
+token counting (whitespace + the RE tokenizer), and k-min-hash document
+fingerprints (winnowing-style containment sketch).
+
+All pure Spark SQL — each is one narrow projection + at most one aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+
+from .. import vocab as V
+
+
+def stopword_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, w) for lang, ws in sorted(V.STOPWORDS.items()) for w in ws]
+    return spark.createDataFrame(rows, "lang_cand string, word string")
+
+
+def langid(df: DataFrame, spark: SparkSession, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """-> (doc_id, lang_pred, score): argmax stopword-hit count per
+    language; ties lexicographic; no hits -> 'und'."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^\\p{L}]+")).alias("word"),
+    ).filter(F.col("word") != "")
+    hits = (
+        toks.join(F.broadcast(stopword_df(spark)), "word")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_cand"))
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_cand").alias("lang_pred"), "score")
+    )
+    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (
+        all_docs.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
+            F.coalesce("score", F.lit(0)).alias("score"))
+    )
+
+
+def quality_scores(df: DataFrame, spark: SparkSession,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """-> per-doc curation features: char/token counts, mean token length,
+    alpha & stopword ratios, and a coarse quality bucket."""
+    en_stop = sorted(V.STOPWORDS["en"])
+    words = F.split(F.col(text_col), "\\s+")
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        words.alias("words"),
+    ).select(
+        "doc_id", "n_chars",
+        F.size("words").alias("n_tokens"),
+        F.round(F.aggregate(F.transform(F.col("words"),
+                                        lambda w: F.length(w).cast("double")),
+                            F.lit(0.0), lambda a, v: a + v)
+                / F.greatest(F.size("words"), F.lit(1)), 6).alias("mean_token_len"),
+        F.round(
+            F.size(F.filter(F.col("words"),
+                            lambda w: w.rlike("^[A-Za-z]+$")))
+            / F.greatest(F.size("words"), F.lit(1)).cast("double"), 6
+        ).alias("alpha_ratio"),
+        F.round(
+            F.size(F.filter(F.col("words"),
+                            lambda w: F.lower(w).isin(en_stop)))
+            / F.greatest(F.size("words"), F.lit(1)).cast("double"), 6
+        ).alias("stopword_ratio"),
+    )
+    return toks.withColumn(
+        "quality_bucket",
+        F.when((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.8)
+               & (F.col("stopword_ratio") >= 0.05), "high")
+        .when(F.col("n_tokens") >= 10, "medium")
+        .otherwise("low"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """-> (doc_id, n_ws_tokens, n_re_tokens): whitespace split vs the
+    BPE-ish RE tokenizer (vocab.TOKEN_RE)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.split(F.col(text_col), "\\s+")).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(V.TOKEN_RE), 0))
+         .alias("n_re_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", n: int = 3, k: int = 4) -> DataFrame:
+    """-> (doc_id, fingerprint): k smallest md5 shingle digests joined —
+    a containment sketch usable as a cheap near-dup blocking key."""
+    from .dedup import shingles
+    sh = shingles(df, id_col, text_col, n)
+    return (
+        sh.withColumn("d", F.md5("shingle"))
+        .groupBy("doc_id")
+        .agg(F.array_join(
+            F.slice(F.array_sort(F.collect_set("d")), 1, k), "|"
+        ).alias("fingerprint"))
+    )

@@ -1,0 +1,274 @@
+"""Training-data pipeline gates: dedup (exact / n-gram Jaccard /
+MinHash+LSH / SimHash), similarity search (brute-force + bucketed ANN),
+text analysis (langid, quality, token counts, fingerprints) and the
+multimodal binary-column plumbing.
+
+DuckDB oracles reconstruct every deterministic value independently — the
+hash chain is md5-hex-prefix arithmetic expressible in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as T
+from .operators import multimodal as M
+from .sources.pages import pages
+from .synth import Dialect, pages_select
+from . import vocab as V
+
+DUCK = Dialect("duckdb")
+JACCARD_T = 0.8
+ANN_QUERIES = 20
+ANN_K = 5
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark sides
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_docs(spark, sf_dir)) \
+            .withColumn("keep", F.col("keep").cast("int"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return D.jaccard_pairs(D.shingles(_docs(spark, sf_dir)), JACCARD_T)
+
+
+def q_dedup_lsh_pairs(spark, sf_dir):
+    return D.lsh_dedup_pairs(_docs(spark, sf_dir), JACCARD_T)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sig = D.minhash_signatures(D.shingles(_docs(spark, sf_dir)))
+    return sig.select(
+        "doc_id", F.posexplode("sig").alias("seed", "minhash"))
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qids = emb.filter(F.col("vec_id") < ANN_QUERIES) \
+              .select(F.col("vec_id").alias("query_id"))
+    return S.cosine_topk(emb, qids, ANN_K)
+
+
+def q_ann_signlsh(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qids = emb.filter(F.col("vec_id") < ANN_QUERIES) \
+              .select(F.col("vec_id").alias("query_id"))
+    return S.signlsh_topk(emb, qids, ANN_K)
+
+
+def q_langid(spark, sf_dir):
+    p = pages(spark, sf_dir, with_html=False) \
+        .select(F.col("url").alias("doc_id"), "text")
+    return T.langid(p, spark, id_col="doc_id")
+
+
+def q_quality(spark, sf_dir):
+    return T.quality_scores(_docs(spark, sf_dir), spark)
+
+
+def q_token_counts(spark, sf_dir):
+    return T.token_counts(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir):
+    return T.fingerprints(_docs(spark, sf_dir))
+
+
+def q_mm_meta(spark, sf_dir):
+    return M.decode_meta(M.binary_payloads(_docs(spark, sf_dir)))
+
+
+TEXTOPS_QUERIES = {
+    "text_dedup_exact": q_dedup_exact,
+    "text_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "text_minhash_signatures": q_minhash_signatures,
+    "text_simhash": q_simhash,
+    "text_ann_topk": q_ann_topk,
+    "text_ann_signlsh": q_ann_signlsh,  # approximate: rows-only check
+    "text_langid": q_langid,
+    "text_quality": q_quality,
+    "text_token_counts": q_token_counts,
+    "text_fingerprints": q_fingerprints,
+    "text_mm_meta": q_mm_meta,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLES = """
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+    FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
+         LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
+"""
+
+_JACCARD = f"""
+    WITH sh AS ({_SHINGLES}),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= {JACCARD_T}
+"""
+
+_H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+
+def textops_oracles() -> dict[str, str]:
+    a_arr = "[" + ", ".join(str(x) for x in D.SEED_A) + "]"
+    b_arr = "[" + ", ".join(str(x) for x in D.SEED_B) + "]"
+    stop_rows = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(V.STOPWORDS.items())
+        for w in ws)
+    cos = ("list_aggregate(list_transform(generate_series(1, 64), "
+           "i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum') / "
+           "(sqrt(list_aggregate(list_transform(generate_series(1, 64), "
+           "i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')) * "
+           "sqrt(list_aggregate(list_transform(generate_series(1, 64), "
+           "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')))")
+    en_stop = ", ".join(f"'{w}'" for w in sorted(V.STOPWORDS["en"]))
+    token_re = V.TOKEN_RE.replace("'", "''")
+    return {
+        "text_dedup_exact": """
+            SELECT doc_id, md5(text) AS text_hash,
+                   count(*) OVER (PARTITION BY md5(text)) AS group_size,
+                   CAST(min(doc_id) OVER (PARTITION BY md5(text)) = doc_id
+                        AS INT) AS keep
+            FROM documents
+        """,
+        "text_dedup_ngram_jaccard": _JACCARD,
+        "text_dedup_lsh_pairs": _JACCARD,  # LSH recall is 1.0 at this tau
+        "text_minhash_signatures": f"""
+            WITH sh AS ({_SHINGLES}),
+            h AS (SELECT doc_id, {_H32.format(x='shingle')} AS h32 FROM sh)
+            SELECT doc_id, s.i AS seed,
+                   min(({a_arr}[s.i+1] * h32 + {b_arr}[s.i+1]) % {D.MERSENNE})
+                     AS minhash
+            FROM h, (SELECT unnest(generate_series(0, {D.N_HASHES - 1})) AS i) s
+            GROUP BY doc_id, s.i
+        """,
+        "text_simhash": f"""
+            WITH t AS (
+              SELECT doc_id, {_H32.format(x='tok')} AS h
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS tok
+                    FROM documents)),
+            v AS (
+              SELECT doc_id, b.i AS b,
+                     sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS votes
+              FROM t, (SELECT unnest(generate_series(0, 31)) AS i) b
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN votes > 0 THEN CAST(1 AS BIGINT) << b
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM v GROUP BY doc_id
+        """,
+        "text_ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings WHERE vec_id < {ANN_QUERIES}),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+              FROM q, embeddings e WHERE e.vec_id != q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id, round(cos, 6) AS cos_sim
+            FROM s
+            QUALIFY rank <= {ANN_K}
+        """,
+        "text_langid": f"""
+            WITH stop(lang_cand, word) AS (VALUES {stop_rows}),
+            p AS (SELECT url AS doc_id, text FROM ({pages_select(DUCK)})),
+            toks AS (
+              SELECT doc_id, unnest(regexp_split_to_array(lower(text),
+                     '[^\\p{{L}}]+')) AS word FROM p),
+            hits AS (
+              SELECT doc_id, lang_cand, count(*) AS score
+              FROM toks JOIN stop USING (word)
+              WHERE word != '' GROUP BY 1, 2),
+            best AS (
+              SELECT doc_id, lang_cand AS lang_pred, score,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score DESC, lang_cand) AS rn
+              FROM hits)
+            SELECT p.doc_id, coalesce(b.lang_pred, 'und') AS lang_pred,
+                   coalesce(b.score, 0) AS score
+            FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON p.doc_id = b.doc_id
+        """,
+        "text_quality": f"""
+            WITH w AS (SELECT doc_id, length(text) AS n_chars,
+                              regexp_split_to_array(text, '\\s+') AS words
+                       FROM documents)
+            SELECT doc_id, n_chars, len(words) AS n_tokens,
+                   round(list_aggregate(list_transform(words,
+                         x -> CAST(length(x) AS DOUBLE)), 'sum')
+                         / greatest(len(words), 1), 6) AS mean_token_len,
+                   round(len(list_filter(words,
+                         x -> regexp_full_match(x, '[A-Za-z]+')))
+                         / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                     AS alpha_ratio,
+                   round(len(list_filter(words, x -> lower(x) IN ({en_stop})))
+                         / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                     AS stopword_ratio,
+                   CASE WHEN len(words) >= 20
+                         AND len(list_filter(words,
+                               x -> regexp_full_match(x, '[A-Za-z]+')))
+                             / CAST(greatest(len(words), 1) AS DOUBLE) >= 0.8
+                         AND len(list_filter(words, x -> lower(x) IN ({en_stop})))
+                             / CAST(greatest(len(words), 1) AS DOUBLE) >= 0.05
+                        THEN 'high'
+                        WHEN len(words) >= 10 THEN 'medium'
+                        ELSE 'low' END AS quality_bucket
+            FROM w
+        """,
+        "text_token_counts": f"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{token_re}')) AS n_re_tokens
+            FROM documents
+        """,
+        "text_fingerprints": f"""
+            WITH sh AS ({_SHINGLES})
+            SELECT doc_id,
+                   array_to_string(
+                     (list_sort(list(DISTINCT md5(shingle))))[1:4], '|')
+                     AS fingerprint
+            FROM sh GROUP BY doc_id
+        """,
+        "text_mm_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest,
+                   CAST(('0x' || substr(md5(text), 1, 4))::BIGINT % 1920 + 1
+                        AS INT) AS fake_width,
+                   CAST(('0x' || substr(md5(text), 5, 4))::BIGINT % 1080 + 1
+                        AS INT) AS fake_height
+            FROM documents
+        """,
+    }
