@@ -135,13 +135,35 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def lsh_dedup_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
-                    id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """The scale path: LSH banding for candidates, exact Jaccard verify —
-    same output contract as jaccard_pairs but near-linear shuffle volume."""
-    sh = shingles(df, id_col, text_col, n)
-    cand = lsh_candidate_pairs(minhash_signatures(sh))
-    verified = jaccard_pairs(sh, threshold)
-    return verified.join(cand, ["doc_a", "doc_b"], "left_semi")
+                    id_col: str = "doc_id", text_col: str = "text",
+                    n_bands: int = N_BANDS) -> DataFrame:
+    """The scale path: LSH banding for candidates, exact Jaccard computed
+    *only on candidate pairs* — same output contract as jaccard_pairs but
+    near-linear shuffle volume (the all-pairs shingle self-join never
+    happens; candidate count is bounded by band-bucket sizes)."""
+    sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    cand = lsh_candidate_pairs(minhash_signatures(sh), n_bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                           F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn("jaccard",
+                    F.round(F.col("inter") /
+                            (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",

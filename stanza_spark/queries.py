@@ -57,8 +57,17 @@ def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "sent_id", "token_id", "token")
 
 
-def _words(spark, sf_dir):
-    return annotate(pages(spark, sf_dir, with_html=False))
+def _words(spark, sf_dir, cache: bool = False):
+    """Annotated words table.  ``cache=True`` persists it — essential for
+    the multi-branch triple/graph plans, which otherwise re-execute the
+    whole pages->annotate chain once per self-join branch (measured 7x
+    recompute = ~20x slowdown at sf0.1).  At cluster scale the equivalent
+    is the materialized stage table in plans.pipeline."""
+    w = annotate(pages(spark, sf_dir, with_html=False))
+    # eager localCheckpoint (not lazy persist): concurrent join-branch
+    # stages would otherwise race to materialize the cache and each
+    # recompute the full lineage
+    return w.localCheckpoint(eager=True) if cache else w
 
 
 def q_kg_pos_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,13 +87,13 @@ def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _words(spark, sf_dir)
-    m = decode_mentions(w)
+    w = _words(spark, sf_dir, cache=True)
+    m = decode_mentions(w).localCheckpoint(eager=True)
     return extract_triples(w, m)
 
 
 def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _words(spark, sf_dir)
+    w = _words(spark, sf_dir, cache=True)
     t = extract_triples(w)
     return materialize_graph(t, alias_df(spark))
 
@@ -92,7 +101,7 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide canonicalization via iterative connected components over
     the alias surfaces of corpus-observed entities."""
-    m = decode_mentions(_words(spark, sf_dir))
+    m = decode_mentions(_words(spark, sf_dir, cache=True))
     linked = link_mentions(m, alias_df(spark))
     entities = linked.select("entity_id").distinct()
     nodes = (
