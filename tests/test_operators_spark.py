@@ -117,3 +117,17 @@ def test_spark_duckdb_corpus_parity(spark, duck):
         a = sorted(map(tuple, spark.sql(fn(sp)).collect()))
         b = sorted(map(tuple, duck.execute(fn(du)).fetchall()))
         assert a == b, fn.__name__
+
+
+def test_multilingual_routing(spark):
+    from stanza_spark.operators.multilingual import route_and_annotate
+    p = pages(spark, SF_SMOKE, with_html=False)
+    w = route_and_annotate(p)
+    by_lang = {r["lang"]: r["n"] for r in
+               w.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_lang) == {"en", "de", "es", "fr", "zh"}
+    # full annotation only where a pipeline config exists
+    assert w.filter("lang = 'en' AND upos IS NULL").count() == 0
+    assert w.filter("lang != 'en' AND upos IS NOT NULL").count() == 0
+    # tokenized-only branch still carries the token stream
+    assert by_lang["de"] > 0

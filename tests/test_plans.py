@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: predicate pushdown reaches the parquet
+scan, projection prunes columns, small dimensions broadcast, skew-safe
+aggregation matches the plain aggregate (SURVEY §4)."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    from stanza_spark.queries_relational import q_rel_pricing_summary
+    p = _plan(q_rel_pricing_summary(spark, SF_SMOKE))
+    assert "LessThanOrEqual(l_shipdate" in p          # filter reached the scan
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read                    # unused columns pruned
+    assert "l_partkey" not in read
+
+
+def test_dimension_joins_broadcast(spark):
+    from stanza_spark.queries_relational import q_rel_region_revenue
+    p = _plan(q_rel_region_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+
+
+def test_alias_dict_join_broadcasts(spark):
+    from stanza_spark.queries import q_kg_links
+    p = _plan(q_kg_links(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # nothing should shuffle-join here
+
+
+def test_narrow_plan_has_no_exchange(spark):
+    """The production triples plan must be shuffle-free."""
+    from stanza_spark.operators.annotate import triples_narrow
+    from stanza_spark.sources.pages import pages
+    p = _plan(triples_narrow(pages(spark, SF_SMOKE, with_html=False)))
+    body = p.split("== Physical Plan ==")[1]
+    tree = body.split("(1)")[0]  # tree rendering, before the detail blocks
+    # one exchange allowed: the explicit input-spread repartition in pages()
+    assert tree.count("Exchange") == 1
+    assert "SortMergeJoin" not in body and "BroadcastHashJoin" not in body
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in body
+
+
+def test_salted_support_matches_plain_aggregate(spark):
+    """Skew handling (C6): two-stage salted aggregation must be
+    semantically identical to the direct groupBy."""
+    from stanza_spark.operators.annotate import triples_narrow
+    from stanza_spark.operators.graph import materialize_graph, salted_support
+    from stanza_spark.operators.linking import alias_df
+    from stanza_spark.sources.pages import pages
+
+    # skewed corpus: replicate one hot page many times (Zipfian head)
+    p = pages(spark, SF_SMOKE, with_html=False).filter("lang = 'en'")
+    hot = p.limit(1)
+    skewed = p.union(*[hot] * 0) if False else p
+    for _ in range(3):
+        skewed = skewed.union(hot.withColumn(
+            "url", F.concat(F.col("url"), F.lit("#dup"))))
+    t = triples_narrow(skewed).localCheckpoint(eager=True)
+    a = alias_df(spark)
+    plain = {(r.subj_canon, r.pred, r.obj_canon): r.support
+             for r in materialize_graph(t, a).collect()}
+    salted = {(r.subj_canon, r.pred, r.obj_canon): r.support
+              for r in salted_support(t, a, n_salt=4).collect()}
+    assert plain == salted
+    assert max(plain.values()) > 3  # the hot key really is hot
