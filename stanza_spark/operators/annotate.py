@@ -451,3 +451,21 @@ def triples_narrow(pages_df, en_only: bool = True):
     if en_only:
         df = df.filter(df.lang == "en")
     return df.mapInPandas(_triples_batches, schema=TRIPLES_SCHEMA)
+
+
+def align_pretokenized(text: str, tokens: list[str]):
+    """Pretokenized-input alignment (SURVEY §2.2 I6): compute char offsets
+    for a given token list by incremental search in the raw text — the
+    reference's `text.index(word, offset)` routine
+    (/root/reference/stanza/models/tokenization/utils.py:406-466).
+    Raises ValueError if the tokens cannot be aligned (text mismatch).
+    Doubles as the byte-identity validator for the offsets invariant."""
+    out = []
+    pos = 0
+    for tok in tokens:
+        idx = text.find(tok, pos)
+        if idx < 0:
+            raise ValueError(f"token {tok!r} not found in text after {pos}")
+        out.append((tok, idx, idx + len(tok)))
+        pos = idx + len(tok)
+    return out

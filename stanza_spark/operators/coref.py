@@ -1,0 +1,91 @@
+"""Coref-lite (SURVEY §2.1 op 20): document-local pronoun resolution +
+coreference chains, as a per-document pass over the mentions table.
+
+The reference runs a neural per-document coref model and selects a
+representative mention per chain — longest span, ties by earliest position
+then most-PROPN (/root/reference/stanza/models/coref/coref_chain.py:66-69).
+The deterministic stand-in resolves each personal pronoun to the nearest
+preceding PERSON mention in the same document (classic recency heuristic)
+and chains repeated surfaces of the same entity.
+
+Spark shape: the per-document scan is a grouped operation —
+``applyInPandas`` over ``groupBy(url)``, the per-doc analog of the
+reference's per-Document processing.  Document groups are small (pages,
+not books), so group skew is bounded; at corpus scale this is one shuffle
+on url, which the annotate stage's output partitioning already provides.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+PRONOUNS = {"he", "she", "it", "they"}
+
+CHAINS_SCHEMA = ("url string, chain_id int, member string, sent_id int, "
+                 "first_word_id int, representative string")
+
+
+def _resolve_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One document's mentions+pronouns (sorted) -> chain rows."""
+    pdf = pdf.sort_values(["sent_id", "first_word_id"])
+    chains: dict[str, list] = {}   # key -> [(surface, sent_id, word_id)]
+    last_person = None
+    for r in pdf.itertuples():
+        surface = r.mention
+        if surface.lower() in PRONOUNS:
+            if last_person is None:
+                continue
+            key = last_person
+        else:
+            key = r.entity_id if r.entity_id else surface.lower()
+            if r.type == "PERSON":
+                last_person = key
+        chains.setdefault(key, []).append(
+            (surface, int(r.sent_id), int(r.first_word_id)))
+    rows = []
+    cid = 0
+    for key in sorted(chains):
+        members = chains[key]
+        # representative: longest surface, ties earliest (coref_chain.py:66-69)
+        rep = sorted(members, key=lambda m: (-len(m[0]), m[1], m[2]))[0][0]
+        if len(members) > 1:
+            for surface, sid, wid in members:
+                rows.append((pdf["url"].iloc[0], cid, surface, sid, wid, rep))
+            cid += 1
+    return pd.DataFrame(rows, columns=["url", "chain_id", "member",
+                                       "sent_id", "first_word_id",
+                                       "representative"])
+
+
+def coref_chains(mentions_linked: DataFrame) -> DataFrame:
+    """linked mentions (+pronoun mentions) -> per-doc coref chains.
+
+    Input needs columns: url, sent_id, first_word_id, mention, type,
+    entity_id (null ok)."""
+    cols = ["url", "sent_id", "first_word_id", "mention", "type", "entity_id"]
+    return (
+        mentions_linked.select(*cols)
+        .groupBy("url")
+        .applyInPandas(lambda pdf: _resolve_doc(pdf), schema=CHAINS_SCHEMA)
+    )
+
+
+def coref_input(words: DataFrame, linked_mentions: DataFrame) -> DataFrame:
+    """Union the typed mentions with pronoun tokens (He/She/It/They) from
+    the words table — pronouns are not NER mentions but are coref
+    anchors."""
+    from pyspark.sql import functions as F
+    prons = (
+        words.filter(F.lower(F.col("text")).isin(*sorted(PRONOUNS))
+                     & (F.col("upos") == "PRON"))
+        .select("url", "sent_id",
+                F.col("word_id").alias("first_word_id"),
+                F.col("text").alias("mention"),
+                F.lit("PRON").alias("type"),
+                F.lit(None).cast("string").alias("entity_id"))
+    )
+    m = linked_mentions.select("url", "sent_id", "first_word_id", "mention",
+                               "type", "entity_id")
+    return m.unionByName(prons)

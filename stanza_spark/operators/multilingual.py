@@ -1,0 +1,51 @@
+"""Language routing — the MultilingualPipeline analog (SURVEY §2.1 op 7).
+
+The reference routes documents to per-language pipelines through an LRU
+cache of loaded models (/root/reference/stanza/pipeline/multilingual.py:
+58-61,141-146,163-177).  In Spark the routing is a partition predicate per
+language config and the "model cache" is the executor-singleton module
+state the annotator UDF closes over (lexicons/regexes in
+stanza_spark.vocab import once per worker process — the per-executor
+FoundationCache analog, core.py:216-219).
+
+`route_and_annotate` runs the full annotator on languages with a full
+config and a tokenize-only pass elsewhere, returning one unified words
+table (annotation columns null where no model exists) — each branch is a
+narrow pass over a disjoint slice, so the union costs nothing extra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .annotate import annotate
+from .tokenize_sql import sentences_from_pages, tokens_sql
+
+FULL_PIPELINE_LANGS = ("en",)
+
+
+def route_and_annotate(pages_df: DataFrame,
+                       full_langs=FULL_PIPELINE_LANGS) -> DataFrame:
+    """pages -> unified words table: full annotation for `full_langs`,
+    tokenize+ssplit only for the rest."""
+    full = annotate(pages_df.filter(F.col("lang").isin(*full_langs)),
+                    en_only=False)
+    rest_tokens = tokens_sql(sentences_from_pages(
+        pages_df.filter(~F.col("lang").isin(*full_langs))))
+    rest = rest_tokens.select(
+        "url", "lang", "sent_id",
+        F.lit(None).cast("bigint").alias("sent_start"),
+        F.lit(None).cast("bigint").alias("sent_end"),
+        F.col("token_id"),
+        F.col("token_id").alias("word_id"),
+        F.lit(False).alias("is_mwt"),
+        F.col("token").alias("text"),
+        F.lit(None).cast("bigint").alias("start_char"),
+        F.lit(None).cast("bigint").alias("end_char"),
+        *[F.lit(None).cast("string").alias(c)
+          for c in ("upos", "xpos", "feats", "lemma")],
+        F.lit(None).cast("int").alias("head"),
+        F.lit(None).cast("string").alias("deprel"),
+        F.lit(None).cast("string").alias("ner"),
+    )
+    return full.unionByName(rest)

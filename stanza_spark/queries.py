@@ -31,6 +31,22 @@ from .operators.graph import materialize_graph
 DUCK = Dialect("duckdb")
 
 
+def _sentiment_oracle(d: Dialect) -> str:
+    from . import vocab as V
+    pos = ", ".join(f"'{w}'" for w in V.SENTIMENT_POS)
+    neg = ", ".join(f"'{w}'" for w in V.SENTIMENT_NEG)
+    return (
+        "SELECT url, sent_id, CASE WHEN pos > neg THEN 2 "
+        "WHEN neg > pos THEN 0 ELSE 1 END AS sentiment FROM ("
+        "SELECT url, sent_id, "
+        f"len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        f"w -> w IN ({pos}))) AS pos, "
+        f"len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), "
+        f"w -> w IN ({neg}))) AS neg "
+        f"FROM ({sentences_select(d)}))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline gates
 # ---------------------------------------------------------------------------
@@ -74,6 +90,13 @@ def q_kg_pos_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _words(spark, sf_dir).select(
         "url", "sent_id", "word_id", F.col("text").alias("word"),
         "upos", "lemma")
+
+
+def q_kg_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sentiment import sentence_sentiment
+    p = pages(spark, sf_dir, with_html=False)
+    return sentence_sentiment(sentences_from_pages(p)).select(
+        "url", "sent_id", "sentiment")
 
 
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,6 +146,7 @@ KG_QUERIES = {
     "kg_sentences": q_kg_sentences,
     "kg_tokens": q_kg_tokens,
     "kg_pos_lemma": q_kg_pos_lemma,
+    "kg_sentiment": q_kg_sentiment,
     "kg_mentions": q_kg_mentions,
     "kg_links": q_kg_links,
     "kg_triples": q_kg_triples,
@@ -144,6 +168,7 @@ def kg_oracles() -> dict[str, str]:
             "SELECT url, sent_id, token_id, token FROM "
             f"({tokens_select(d)})"),
         "kg_pos_lemma": gold_pos_lemma_select(d),
+        "kg_sentiment": _sentiment_oracle(d),
         "kg_mentions": gold_mentions_select(d),
         "kg_links": gold_links_select(d),
         "kg_triples": gold_triples_select(d),

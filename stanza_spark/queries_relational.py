@@ -185,7 +185,20 @@ def q_rel_asof_last_purchase(spark, sf_dir):
     )
 
 
+def q_rel_event_props(spark, sf_dir):
+    """Semi-structured access: JSON property extraction + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("total_k"),
+             F.max("k").alias("max_k"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
 RELATIONAL_QUERIES = {
+    "rel_event_props": q_rel_event_props,
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_orders": q_rel_top_orders,
     "rel_region_revenue": q_rel_region_revenue,
@@ -200,6 +213,15 @@ RELATIONAL_QUERIES = {
 
 def relational_oracles() -> dict[str, str]:
     return {
+        "rel_event_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS total_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS max_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
         "rel_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

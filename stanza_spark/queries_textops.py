@@ -74,6 +74,18 @@ def q_ann_signlsh(spark, sf_dir):
     return S.signlsh_topk(emb, qids, ANN_K)
 
 
+def q_embedding_nn(spark, sf_dir):
+    """Nearest neighbor for EVERY vector (embedding-cosine near-dup
+    primitive: dup candidates = pairs whose NN similarity clears a
+    threshold; this corpus has no planted vector dups, so the gate checks
+    the full NN structure instead — see operators.similarity
+    .embedding_dup_pairs for the thresholded variant, tested with planted
+    dups in pytest)."""
+    emb = _emb(spark, sf_dir)
+    qids = emb.select(F.col("vec_id").alias("query_id"))
+    return S.cosine_topk(emb, qids, 1)
+
+
 def q_langid(spark, sf_dir):
     p = pages(spark, sf_dir, with_html=False) \
         .select(F.col("url").alias("doc_id"), "text")
@@ -104,6 +116,7 @@ TEXTOPS_QUERIES = {
     "text_simhash": q_simhash,
     "text_ann_topk": q_ann_topk,
     "text_ann_signlsh": q_ann_signlsh,  # approximate: rows-only check
+    "text_embedding_nn": q_embedding_nn,
     "text_langid": q_langid,
     "text_quality": q_quality,
     "text_token_counts": q_token_counts,
@@ -200,6 +213,19 @@ def textops_oracles() -> dict[str, str]:
                    neighbor_id, round(cos, 6) AS cos_sim
             FROM s
             QUALIFY rank <= {ANN_K}
+        """,
+        "text_embedding_nn": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+                       FROM embeddings),
+            s AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
+              FROM q, embeddings e WHERE e.vec_id != q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id, round(cos, 6) AS cos_sim
+            FROM s
+            QUALIFY rank <= 1
         """,
         "text_langid": f"""
             WITH stop(lang_cand, word) AS (VALUES {stop_rows}),

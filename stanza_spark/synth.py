@@ -236,6 +236,8 @@ MENTION_SLOTS = {
     8: [],
     9: [("P", "PERSON"), ("Y", "DATE")],
     10: [("Y", "DATE")],
+    11: [("O", "ORG"), ("Y", "DATE")],
+    12: [("O", "ORG"), ("Y", "DATE")],
 }
 
 

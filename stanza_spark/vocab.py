@@ -121,7 +121,16 @@ TEMPLATES = [
     (["P", " was elected president in ", "Y", "."], ("P", "elect", "president", "PERSON", None)),
     # 10: html-escaping exercise (&, <, >), no verb -> no triple
     (["Costs rose 5% & more <fast> in ", "Y", "."], None),
+    # 11/12: sentiment-bearing fillers (op 19), no verb -> no triple
+    (["O", " was praised as excellent in ", "Y", "."], None),
+    (["O", " was criticized as terrible in ", "Y", "."], None),
 ]
+
+# Sentiment lexicon (op 19: per-sentence classifier stand-in;
+# 0=negative 1=neutral 2=positive like the reference's sentiment labels,
+# golden `# sentiment = 1` in test_english_pipeline.py:92).
+SENTIMENT_POS = ["excellent", "praised", "great", "good", "wonderful"]
+SENTIMENT_NEG = ["terrible", "criticized", "bad", "awful", "poor"]
 
 # Non-English filler sentences, one per language (exercise the
 # byte-identical-extraction invariant with non-ASCII bytes).

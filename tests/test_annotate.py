@@ -117,3 +117,25 @@ def test_offsets_are_byte_faithful_slices():
     for r in rows:
         if not r[7]:  # non-MWT words slice exactly
             assert text[r[9]:r[10]] == r[8]
+
+
+def test_align_pretokenized():
+    from stanza_spark.operators.annotate import align_pretokenized
+    text = "Barack Obama  was born."
+    toks = ["Barack", "Obama", "was", "born", "."]
+    got = align_pretokenized(text, toks)
+    assert got[1] == ("Obama", 7, 12)
+    assert got[2] == ("was", 14, 17)  # double space skipped
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        align_pretokenized(text, ["Nope"])
+
+
+def test_annotator_offsets_align_with_pretokenized_matcher():
+    from stanza_spark.operators.annotate import align_pretokenized
+    text = "Marie Curie founded Initech in Paris. See https://x.org/a.html now."
+    rows = annotate_page("u", "en", text)
+    toks = [r[8] for r in rows if not r[7]]
+    aligned = align_pretokenized(text, toks)
+    got = [(r[8], r[9], r[10]) for r in rows if not r[7]]
+    assert got == aligned

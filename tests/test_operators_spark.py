@@ -131,3 +131,42 @@ def test_multilingual_routing(spark):
     assert w.filter("lang != 'en' AND upos IS NOT NULL").count() == 0
     # tokenized-only branch still carries the token stream
     assert by_lang["de"] > 0
+
+
+def test_coref_lite_golden(spark):
+    """'He was elected president' resolves to Barack Obama; chain
+    representative = longest surface (coref_chain.py:66-69 rule)."""
+    from stanza_spark.operators.coref import coref_chains, coref_input
+    doc = ("Barack Obama was born in Hawaii.  He was elected president in "
+           "2008.  Obama attended Harvard.")
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    w = annotate(df)
+    m = decode_mentions(w)
+    linked = link_mentions(
+        m.select("url", "sent_id", "mention", "type",
+                 "first_word_id", "last_word_id"),
+        alias_df(spark), how="left") \
+        .join(m.select("url", "sent_id", "mention", "first_word_id"),
+              ["url", "sent_id", "mention"])
+    chains = coref_chains(coref_input(w, linked)).collect()
+    members = sorted((r.member, r.sent_id) for r in chains)
+    assert members == [("Barack Obama", 0), ("He", 1), ("Obama", 2)]
+    assert all(r.representative == "Barack Obama" for r in chains)
+
+
+def test_embedding_dup_pairs_planted(spark):
+    from stanza_spark.operators.similarity import embedding_dup_pairs
+    import random
+    rnd = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rnd.uniform(-1, 1) for _ in range(16)]))
+    # plant near-duplicates of vectors 3 and 11
+    rows.append((100, [x * 1.001 + 0.0005 for x in rows[3][1]]))
+    rows.append((101, [x * 0.999 - 0.0005 for x in rows[11][1]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.vec_a, r.vec_b): r.cos_sim
+             for r in embedding_dup_pairs(emb, threshold=0.99).collect()}
+    assert (3, 100) in pairs and (11, 101) in pairs
+    assert all(v >= 0.99 for v in pairs.values())
