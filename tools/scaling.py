@@ -98,6 +98,8 @@ def main():
             "efficiency_n_to_4n": round(ratio / 4.0, 3),
         }
         print(json.dumps(out, indent=2))
+        with open("/root/repo/BENCH_SCALING.json", "w") as f:
+            json.dump(out, f, indent=2)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
