@@ -122,8 +122,10 @@ def q_kg_triples_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _words(spark, sf_dir, cache=True)
-    t = extract_triples(w)
+    """Graph materialize fed by the narrow production plan (zero
+    checkpoints; the relational triple path is separately gated via
+    kg_triples with the same oracle)."""
+    t = triples_narrow(pages(spark, sf_dir, with_html=False))
     return materialize_graph(t, alias_df(spark))
 
 
