@@ -82,3 +82,76 @@ def stream_windowed_counts(spark: SparkSession, input_dir: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: streaming sessionization with
+# applyInPandasWithState (processing-time timeout closes idle sessions).
+# The batch-relational form lives in queries_relational.q_rel_sessionize;
+# this is the arbitrary-state streaming variant for unbounded event feeds.
+# ---------------------------------------------------------------------------
+
+SESSION_SCHEMA = ("user_id bigint, session_start string, n_events bigint, "
+                  "total_value double")
+STATE_SCHEMA = "start bigint, n bigint, total double, last_us bigint"
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(key, pdf_iter, state):
+    """Accumulate per-user session state across micro-batches; emit closed
+    sessions whenever a gap exceeds SESSION_GAP_US within the observed
+    stream (event-time ordered within the group)."""
+    import pandas as pd
+
+    (user_id,) = key
+    if state.exists:
+        start, n, total, last_us = state.get
+    else:
+        start, n, total, last_us = None, 0, 0.0, None
+
+    rows = []
+    events = []
+    for pdf in pdf_iter:
+        events.append(pdf)
+    if events:
+        ev = pd.concat(events).sort_values("us")
+        for us, value in zip(ev["us"], ev["value"]):
+            us = int(us)
+            if last_us is not None and us - last_us > SESSION_GAP_US:
+                rows.append((user_id, str(start), int(n), float(total)))
+                start, n, total = None, 0, 0.0
+            if start is None:
+                start = us
+            n += 1
+            total += float(value)
+            last_us = us
+    if state.hasTimedOut:
+        if n:
+            rows.append((user_id, str(start), int(n), float(total)))
+        state.remove()
+    else:
+        state.update((start, n, total, last_us))
+        state.setTimeoutDuration(5 * 1000)
+    import pandas as pd
+    yield pd.DataFrame(rows, columns=["user_id", "session_start",
+                                      "n_events", "total_value"])
+
+
+def stateful_sessionize(events_stream: DataFrame) -> DataFrame:
+    """events stream -> closed sessions via arbitrary stateful processing
+    (GroupStateTimeout.ProcessingTimeTimeout closes idle users)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    ev = events_stream.withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp")))
+    return (
+        ev.select("user_id", "us", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -164,11 +164,19 @@ SENT_SEP = " "  # single space joins sentences within a page
 # (/root/reference/stanza/models/tokenization/utils.py:199-248).
 # --------------------------------------------------------------------------
 
-URL_RE = r"https?://[^\s<>\"]+"
+# Explicit whitespace class: python-re's \s is Unicode-aware while
+# RE2/java's is ASCII-only — \xa0 (NBSP, ubiquitous in web text) would
+# tokenize differently across engines (caught by hypothesis,
+# tests/test_regex_parity.py).  Literal characters/ranges mean the same
+# thing in all three engines.
+WS_CLASS = ("\t\n\r\x0b\x0c \u00a0\u1680"
+            "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000")
+
+URL_RE = rf"https?://[^{WS_CLASS}<>\"]+"
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?"
 NUM_RE = r"[0-9]+(?:[.,][0-9]+)*"
-PUNCT_RE = r"[^A-Za-z0-9\s]"
+PUNCT_RE = rf"[^A-Za-z0-9{WS_CLASS}]"
 TOKEN_RE = f"{URL_RE}|{EMAIL_RE}|{WORD_RE}|{NUM_RE}|{PUNCT_RE}"
 
 SENT_END_CHARS = {".", "!", "?"}

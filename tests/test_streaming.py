@@ -65,3 +65,49 @@ def test_windowed_counts_with_watermark(spark, tmp_path):
         batch.alias("b"), ["window_start", "event_type"], "left")
     assert j.filter(F.col("g.n") != F.col("b.n")).count() == 0
     assert got.count() > 0
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionizer over a file stream: closed
+    sessions must match the batch window-function sessionizer (all but
+    each user's final, still-open session)."""
+    from stanza_spark.streaming.stream import stateful_sessionize
+    from stanza_spark.queries_relational import q_rel_sessionize
+
+    src = str(tmp_path / "ev")
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet") \
+        .write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream
+        .schema("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                "event_type string, value double, props string")
+        .parquet(src)
+    )
+    out = str(tmp_path / "sessions")
+    q = (stateful_sessionize(stream)
+         .writeStream.format("memory").queryName("sess_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(45)
+    q.stop()
+    got = {(r.user_id, int(r.session_start)): r.n_events
+           for r in spark.sql("SELECT * FROM sess_test").collect()}
+
+    batch = q_rel_sessionize(spark, SF_SMOKE).collect()
+    # drop each user's last (open) session — the stream can't close it
+    last = {}
+    for r in batch:
+        last[r.user_id] = max(last.get(r.user_id, 0), r.session_id)
+    import datetime
+    def us(s):
+        return int(datetime.datetime.strptime(
+            s, "%Y-%m-%d %H:%M:%S.%f").replace(
+            tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    closed = {(r.user_id, us(r.session_start)): r.n_events
+              for r in batch if r.session_id != last[r.user_id]}
+    allsess = {(r.user_id, us(r.session_start)): r.n_events
+               for r in batch}
+    # every gap-closed session must be emitted; the final (open) session
+    # per user may or may not flush depending on timeout timing
+    assert set(closed) <= set(got) <= set(allsess)
+    assert all(got[k] == allsess[k] for k in got)
+    assert len(got) > 0
