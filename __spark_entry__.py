@@ -8,13 +8,47 @@ implemented operator with a DuckDB oracle where SQL-expressible
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# make the package importable regardless of the caller's cwd
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+# ... and for executors' python workers too (a foreign-cwd driver session
+# doesn't propagate sys.path): ship the package like spark-submit
+# --py-files would.
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def _ensure_package(spark: SparkSession) -> None:
+    sc = spark.sparkContext
+    if getattr(sc, "_stanza_spark_shipped", False):
+        return
+    import shutil
+    import tempfile
+    zdir = tempfile.mkdtemp(prefix="stanza-spark-pkg-")
+    zpath = shutil.make_archive(os.path.join(zdir, "stanza_spark"), "zip",
+                                root_dir=_REPO, base_dir="stanza_spark")
+    sc.addPyFile(zpath)
+    sc._stanza_spark_shipped = True
+
+
+def _wrap(fn):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_package(spark)
+        return fn(spark, sf_dir)
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: (subj, pred, obj) triples for the sf0.001 corpus."""
+    _ensure_package(spark)
     from stanza_spark.queries import q_kg_triples
     return q_kg_triples(spark, "/root/testdata/sf0.001")
 
@@ -33,7 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(TEXTOPS_QUERIES)
     except ImportError:
         pass
-    return out
+    return {k: _wrap(v) for k, v in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:

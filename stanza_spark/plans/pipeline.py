@@ -128,21 +128,40 @@ class KGPipeline:
         self._write_metrics(stage, bucket_group, rows, time.time() - t0)
         self._mark_completed(stage, bucket_group)
 
-    def _run_stage(self, stage: str, df_fn, inputs: list[str],
-                   fail_after_groups: int | None = None):
-        """Process missing buckets in groups; optionally die mid-way (test
-        hook simulating a killed job)."""
+    def _run_stage(self, stage: str, fn, inputs: list[str],
+                   fail_after_groups: int | None = None,
+                   bucket_col: str = "url"):
+        """Process missing buckets in groups.
+
+        ``fn(*input_dfs)`` transforms the (bucket-pruned) input stage
+        tables; for source stages (``inputs`` not stage names) it is called
+        with no arguments.  Inputs and outputs are co-bucketed on
+        xxhash64(url), so pruning the input partitions to the group is
+        correct for every per-document stage — resuming one missing bucket
+        reads and computes only that bucket, not the whole corpus.
+        ``fail_after_groups`` simulates a killed job (tests)."""
         missing = sorted(set(range(self.n_buckets)) - self.completed_buckets(stage))
         if not missing:
             return 0
-        df = df_fn().withColumn(
-            "bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)))
+        stage_inputs = [i for i in inputs if i in STAGES]
         groups = [missing[i:i + self.buckets_per_job]
                   for i in range(0, len(missing), self.buckets_per_job)]
         for gi, g in enumerate(groups):
             if fail_after_groups is not None and gi >= fail_after_groups:
                 raise RuntimeError(f"simulated failure in stage {stage}")
-            self._write_buckets(stage, df, g)
+            if stage_inputs:
+                ins = [
+                    self.read_stage(n)
+                    .filter(F.col("bucket").isin(g))   # partition pruning
+                    .drop("bucket")
+                    for n in stage_inputs
+                ]
+                out = fn(*ins)
+            else:
+                out = fn()
+            out = out.withColumn(
+                "bucket", F.pmod(F.xxhash64(bucket_col), F.lit(self.n_buckets)))
+            self._write_buckets(stage, out, g)
         self._write_lineage(stage, inputs)
         return len(groups)
 
@@ -163,42 +182,29 @@ class KGPipeline:
             [self.sf_dir], hook("pages"))
 
         self._run_stage(
-            "words",
-            lambda: annotate(self.read_stage("pages")),
-            ["pages"], hook("words"))
+            "words", annotate, ["pages"], hook("words"))
 
         self._run_stage(
-            "mentions",
-            lambda: decode_mentions(self.read_stage("words")),
-            ["words"], hook("mentions"))
+            "mentions", decode_mentions, ["words"], hook("mentions"))
 
         self._run_stage(
             "links",
-            lambda: link_mentions(self.read_stage("mentions"),
-                                  alias_df(self.spark)),
+            lambda m: link_mentions(m, alias_df(self.spark)),
             ["mentions"], hook("links"))
 
         self._run_stage(
             "triples",
-            lambda: extract_triples(
-                self.read_stage("words").localCheckpoint(eager=True),
-                self.read_stage("mentions")),
+            lambda w, m: extract_triples(w.localCheckpoint(eager=True), m),
             ["words", "mentions"], hook("triples"))
 
-        # graph is a global aggregate: bucket by subject hash instead of url
-        stage = "graph"
-        missing = sorted(set(range(self.n_buckets)) - self.completed_buckets(stage))
-        if missing:
-            g = materialize_graph(self.read_stage("triples"),
-                                  alias_df(self.spark))
-            g = g.withColumn("bucket",
-                             F.pmod(F.xxhash64("subj_canon"),
-                                    F.lit(self.n_buckets)))
-            groups = [missing[i:i + self.buckets_per_job]
-                      for i in range(0, len(missing), self.buckets_per_job)]
-            for gi, grp in enumerate(groups):
-                if (fail_in and fail_in[0] == stage and gi >= fail_in[1]):
-                    raise RuntimeError("simulated failure in stage graph")
-                self._write_buckets(stage, g, grp)
-            self._write_lineage(stage, ["triples"])
+        # graph is a global aggregate over all url buckets; its OUTPUT is
+        # bucketed by subject hash (stage_inputs pruning doesn't apply —
+        # pass the full triples table explicitly)
+        self._run_stage(
+            "graph",
+            lambda: materialize_graph(
+                self.read_stage("triples").drop("bucket"),
+                alias_df(self.spark)),
+            ["__all_triples__"], hook("graph"), bucket_col="subj_canon")
+        self._write_lineage("graph", ["triples"])
         return self.read_stage("graph")
