@@ -45,6 +45,9 @@ def run_once(cores: int, queries: dict, names, repeats: int = 2) -> dict:
     spark = get_spark(f"bench-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8),
                       extra={"spark.ui.showConsoleProgress": "false"})
+    # warm python workers / codegen once so the first query isn't charged
+    # session cold-start (a long-lived cluster never re-pays it)
+    queries[names[0]](spark, SF_DIR).count()
     timings = {}
     for name in names:
         best, n = None, 0

@@ -75,3 +75,32 @@ def test_salted_support_matches_plain_aggregate(spark):
               for r in salted_support(t, a, n_salt=4).collect()}
     assert plain == salted
     assert max(plain.values()) > 3  # the hot key really is hot
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Scale pattern: pre-bucketed tables co-locate their join — neither
+    side shuffles (SURVEY §0 'repartition/bucketing for co-located
+    joins')."""
+    import uuid
+    suffix = uuid.uuid4().hex[:8]
+    orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    t1, t2 = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey") \
+        .mode("overwrite").saveAsTable(t1)
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey") \
+        .mode("overwrite").saveAsTable(t2)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(t2).join(
+            spark.table(t1),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        p = _plan(j)
+        tree = p.split("== Physical Plan ==")[1].split("(1)")[0]
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in tree        # co-located: no shuffle
+        assert j.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
