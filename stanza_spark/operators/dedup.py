@@ -55,10 +55,15 @@ def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """-> distinct (doc_id, shingle): word n-grams via higher-order array
     functions (no UDF)."""
     words = F.split(F.col(text_col), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
-    )
+    # guard: sequence(0, -1) is DESCENDING in Spark, so texts shorter than
+    # n words would produce slice(words, 0, n) and crash — emit no shingles
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .distinct()

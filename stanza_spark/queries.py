@@ -129,6 +129,16 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_graph(t, alias_df(spark))
 
 
+def q_kg_words_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual routing (op 7): full annotation for en, tokenize-only
+    elsewhere; the word stream must equal the language-agnostic token
+    stream (word_id == token_id on this MWT-free corpus)."""
+    from .operators.multilingual import route_and_annotate
+    w = route_and_annotate(pages(spark, sf_dir, with_html=False))
+    return w.select("url", "lang", "sent_id", "word_id",
+                    F.col("text").alias("word"))
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide canonicalization via iterative connected components over
     the alias surfaces of corpus-observed entities."""
@@ -154,6 +164,7 @@ KG_QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_triples_narrow": q_kg_triples_narrow,
     "kg_graph_edges": q_kg_graph_edges,
+    "kg_words_routed": q_kg_words_routed,
     "kg_components": q_kg_components,
 }
 
@@ -176,5 +187,8 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples": gold_triples_select(d),
         "kg_triples_narrow": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),
+        "kg_words_routed": (
+            "SELECT url, lang, sent_id, token_id AS word_id, "
+            f"token AS word FROM ({tokens_select(d)})"),
         "kg_components": gold_components_select(d),
     }

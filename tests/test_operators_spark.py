@@ -170,3 +170,12 @@ def test_embedding_dup_pairs_planted(spark):
              for r in embedding_dup_pairs(emb, threshold=0.99).collect()}
     assert (3, 100) in pairs and (11, 101) in pairs
     assert all(v >= 0.99 for v in pairs.values())
+
+
+def test_shingles_short_text_edge(spark):
+    from stanza_spark.operators.dedup import shingles
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "one"), (4, "w x y z")],
+        "doc_id long, text string")
+    got = sorted((r.doc_id, r.shingle) for r in shingles(df).collect())
+    assert got == [(4, "w x y"), (4, "x y z")]
