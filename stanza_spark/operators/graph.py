@@ -55,3 +55,40 @@ def salted_support(triples: DataFrame, aliases: DataFrame,
              F.slice(F.array_sort(F.flatten(F.collect_list("purls"))), 1, 5)
               .alias("sample_urls"))
     )
+
+
+def merge_graph_edges(spark, existing_dir: str, new_triples: DataFrame,
+                      aliases: DataFrame) -> DataFrame:
+    """Idempotent incremental upsert — the parquet equivalent of Iceberg's
+    ``MERGE INTO graph_edges USING new ON keys WHEN MATCHED THEN UPDATE
+    support = support + delta WHEN NOT MATCHED THEN INSERT`` (SURVEY §2.3
+    C5).  Reads the existing table (if any), aggregates the delta, merges
+    via full outer join on the canonical key, and commits atomically
+    (write-to-temp + directory swap — the snapshot-commit stand-in).
+
+    Returns the merged DataFrame (already persisted at ``existing_dir``).
+    """
+    import os
+    import shutil
+
+    delta = materialize_graph(new_triples, aliases) \
+        .withColumnRenamed("support", "delta_support")
+    if os.path.exists(os.path.join(existing_dir, "_SUCCESS")):
+        existing = spark.read.parquet(existing_dir)
+        merged = (
+            existing.join(delta, ["subj_canon", "pred", "obj_canon"], "full")
+            .select(
+                "subj_canon", "pred", "obj_canon",
+                (F.coalesce("support", F.lit(0))
+                 + F.coalesce("delta_support", F.lit(0))).alias("support"))
+        )
+    else:
+        merged = delta.withColumnRenamed("delta_support", "support")
+    tmp = existing_dir.rstrip("/") + ".__merge_tmp__"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(existing_dir):
+        shutil.rmtree(existing_dir)
+    os.rename(tmp, existing_dir)
+    return spark.read.parquet(existing_dir)

@@ -179,3 +179,22 @@ def test_shingles_short_text_edge(spark):
         "doc_id long, text string")
     got = sorted((r.doc_id, r.shingle) for r in shingles(df).collect())
     assert got == [(4, "w x y"), (4, "x y z")]
+
+
+def test_merge_graph_edges_incremental(spark, tmp_path):
+    """Two incremental merges must equal one full materialize (the
+    Iceberg-MERGE analog, C5)."""
+    from stanza_spark.operators.annotate import triples_narrow
+    from stanza_spark.operators.graph import merge_graph_edges, materialize_graph
+    out = str(tmp_path / "graph_edges")
+    p = pages(spark, SF_SMOKE, with_html=False)
+    first = triples_narrow(p.filter(F.col("doc_id") % 2 == 0))
+    second = triples_narrow(p.filter(F.col("doc_id") % 2 == 1))
+    a = alias_df(spark)
+    merge_graph_edges(spark, out, first, a)
+    merged = merge_graph_edges(spark, out, second, a)
+    got = {(r.subj_canon, r.pred, r.obj_canon): r.support
+           for r in merged.collect()}
+    want = {(r.subj_canon, r.pred, r.obj_canon): r.support
+            for r in materialize_graph(triples_narrow(p), a).collect()}
+    assert got == want
