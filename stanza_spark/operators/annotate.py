@@ -45,6 +45,75 @@ YEAR_PAT = re.compile(r"[0-9]{4}\Z")
 
 SENT_END = {".", "!", "?", "。", "！", "？"}
 
+# --- reference-verbatim web-text overrides -------------------------------
+# EMAIL_RAW_RE / URL_RAW_RE ported with identical semantics from
+# /root/reference/stanza/models/tokenization/utils.py:199-205 (themselves
+# public StackOverflow validators cited there).  Matches are forced into
+# single tokens exactly like the reference's `update_pred_regex`
+# (utils.py:225-248): no split inside the span, word-split at its end.
+# Behavioral notes (all asserted in tests/test_annotate.py against the
+# reference regexes): `www.x.org`/`a.co.uk` mask; bare `example.com` does
+# NOT; a trailing `.` or `)` glued to a URL is swallowed into the token;
+# emails are lowercase-only.
+EMAIL_RAW_RE = (
+    r"(?:[a-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\.[a-z0-9!#$%&'*+/=?^_`{|}~-]+)*"
+    r"|\"(?:[\x01-\x08\x0b\x0c\x0e-\x1f\x21\x23-\x5b\x5d-\x7f]"
+    r"|\\[\x01-\x09\x0b\x0c\x0e-\x7f])*\")"
+    r"@(?:(?:[a-z0-9](?:[a-z0-9-]*[a-z0-9])?\.)+[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+    r"|\[(?:(?:(?:2(?:5[0-5]|[0-4][0-9])|1[0-9][0-9]|[1-9]?[0-9]))\.){3}"
+    r"(?:(?:2(?:5[0-5]|[0-4][0-9])|1[0-9][0-9]|[1-9]?[0-9])"
+    r"|[a-z0-9-]*[a-z0-9]:"
+    r"(?:[\x01-\x08\x0b\x0c\x0e-\x1f\x21-\x5a\x53-\x7f]"
+    r"|\\[\x01-\x09\x0b\x0c\x0e-\x7f])+)\])")
+URL_RAW_RE = (
+    r"(?:https?:\/\/(?:www\.|(?!www))[a-zA-Z0-9][a-zA-Z0-9-]+[a-zA-Z0-9]"
+    r"\.[^\s\"]{2,}"
+    r"|www\.[a-zA-Z0-9][a-zA-Z0-9-]+[a-zA-Z0-9]\.[^\s\"]{2,}"
+    r"|https?:\/\/(?:www\.|(?!www))[a-zA-Z0-9]+\.[^\s\"]{2,}"
+    r"|www\.[a-zA-Z0-9]+\.[^\s\"]{2,})"
+    r"|[a-zA-Z0-9]+\.(?:gov|org|edu|net|com|co)(?:\.[^\s\"]{2,})")
+MASK_PAT = re.compile(f"(?:{EMAIL_RAW_RE}|{URL_RAW_RE})")
+
+# Paragraphs split on blank lines (C1 controls count as blank), exactly
+# the reference's NEWLINE_WHITESPACE_RE
+# (/root/reference/stanza/models/tokenization/data.py:124,152-154); a
+# paragraph boundary always ends the current sentence.
+NEWLINE_WS_PAT = re.compile(r"\n[\s\u0080-\u009f]*\n")
+
+
+def split_paragraphs(text: str):
+    """-> [(start, end)] paragraph spans into the raw text (blank-line
+    split; whitespace-only chunks dropped, mirroring the reference's
+    rstrip-and-skip, data.py:152-154).  Offsets stay raw — downstream
+    char offsets index the original page bytes."""
+    spans = []
+    start = 0
+    for m in NEWLINE_WS_PAT.finditer(text):
+        spans.append((start, m.start()))
+        start = m.end()
+    spans.append((start, len(text)))
+    return [(a, b) for a, b in spans if text[a:b].strip()]
+
+
+def tokenize_span(text: str, start: int, end: int):
+    """Tokens [(tok, abs_start, abs_end)] of text[start:end]: MASK_PAT
+    spans become single tokens (the update_pred_regex override); ordinary
+    TOKEN_RE tokenization elsewhere."""
+    seg = text[start:end]
+    out = []
+    pos = 0
+    for m in MASK_PAT.finditer(seg):
+        a, b = m.span()
+        if a < pos:
+            continue
+        out.extend((t.group(0), start + t.start(), start + t.end())
+                   for t in TOKEN_PAT.finditer(seg, pos, a))
+        out.append((seg[a:b], start + a, start + b))
+        pos = b
+    out.extend((t.group(0), start + t.start(), start + t.end())
+               for t in TOKEN_PAT.finditer(seg, pos))
+    return out
+
 ALIAS_TYPE = {}   # lower(alias) -> entity_type
 for _a, _e, _c, _t in V.alias_rows():
     ALIAS_TYPE.setdefault(_a.lower(), _t)
@@ -67,21 +136,27 @@ SYM_CHARS = set("%$€£+=#@~^|&*")
 def split_sentences(text: str):
     """-> list of sentences: (start, end, [(tok_text, start, end), ...]).
 
-    Sentence boundary after any [.!?] (and CJK equivalents) punctuation
-    token — decided on the token stream exactly like the reference's
-    tokenizer (sentence-end is a token-level prediction class,
-    /root/reference/stanza/models/tokenization/data.py:5-14).  URLs are
-    single tokens, so ``.html`` inside a URL can never split a sentence.
+    Preprocessing follows the reference tokenizer exactly: the page is
+    first split into paragraphs on blank lines (data.py:124,152-154) and a
+    paragraph boundary always terminates the open sentence, even without
+    closing punctuation.  Within a paragraph the boundary falls after any
+    [.!?] (and CJK equivalents) punctuation token — decided on the token
+    stream like the reference's per-char prediction classes
+    (/root/reference/stanza/models/tokenization/data.py:5-14).  MASK_PAT
+    spans (URLs/emails) are single tokens, so ``.html`` inside a URL can
+    never split a sentence — and a URL token that swallowed a trailing
+    ``.`` (reference behavior) does not end the sentence either.
     """
     sents = []
-    cur = []
-    for m in TOKEN_PAT.finditer(text):
-        cur.append((m.group(0), m.start(), m.end()))
-        if m.group(0) in SENT_END:
+    for pstart, pend in split_paragraphs(text):
+        cur = []
+        for tok, a, b in tokenize_span(text, pstart, pend):
+            cur.append((tok, a, b))
+            if tok in SENT_END:
+                sents.append(cur)
+                cur = []
+        if cur:
             sents.append(cur)
-            cur = []
-    if cur:
-        sents.append(cur)
     return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
 
 
@@ -458,7 +533,10 @@ def align_pretokenized(text: str, tokens: list[str]):
     for a given token list by incremental search in the raw text — the
     reference's `text.index(word, offset)` routine
     (/root/reference/stanza/models/tokenization/utils.py:406-466).
-    Raises ValueError if the tokens cannot be aligned (text mismatch).
+    Raises ValueError if the tokens cannot be aligned (text mismatch) or
+    if non-whitespace text remains after the last token — the reference's
+    `match_tokens_with_text` rejects both too-short and too-long texts
+    (stanza/tests/tokenization/test_tokenize_utils.py:62-69).
     Doubles as the byte-identity validator for the offsets invariant."""
     out = []
     pos = 0
@@ -468,4 +546,6 @@ def align_pretokenized(text: str, tokens: list[str]):
             raise ValueError(f"token {tok!r} not found in text after {pos}")
         out.append((tok, idx, idx + len(tok)))
         pos = idx + len(tok)
+    if text[pos:].strip():
+        raise ValueError(f"unmatched trailing text {text[pos:]!r}")
     return out

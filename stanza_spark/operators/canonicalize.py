@@ -5,13 +5,22 @@ Generalizes the reference's per-document representative-mention rule —
 longest span, ties by earliest — from coref chains
 (/root/reference/stanza/models/coref/coref_chain.py:66-69) to corpus scope.
 
-Connected components run as the classic alternating **large-star /
-small-star** iteration (Kiveris et al., "Connected Components in MapReduce
-and Beyond") expressed purely as DataFrame joins + aggregations: each round
-every node adopts the minimum label in its neighborhood; convergence in
-O(log n) rounds.  `localCheckpoint` truncates lineage each round so the plan
-doesn't grow unboundedly (SURVEY §4 custom-work item (e)).  No GraphFrames
-dependency.
+Connected components run as the alternating **large-star / small-star**
+edge-rewriting iteration (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SOCC'14), expressed purely as DataFrame
+aggregations + joins:
+
+* large-star(u): every neighbor v > u re-points to m = min(N(u) ∪ {u})
+* small-star(u): over edges oriented child=max endpoint, every neighbor
+  (all ≤ u) plus u itself re-points to the minimum
+
+Each operation halves the height of label-chains, so a path graph of n
+nodes converges in O(log n) rounds — not the O(n) of plain min-label
+propagation (verified on a deep chain in tests/test_operators_spark.py).
+Convergence is detected by an order-insensitive edge-set checksum (one
+tiny aggregate per round, no driver-side diff join); `localCheckpoint`
+truncates lineage each round (SURVEY §4 custom-work item (e)).  No
+GraphFrames dependency.
 """
 
 from __future__ import annotations
@@ -19,47 +28,97 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, Window
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star operation over an undirected edge list."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    )
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star operation: orient edges child = max endpoint, then
+    all of child's smaller neighbors (and the child) point to the min."""
+    oriented = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"),
+                F.least("src", "dst").alias("v"))
+        .distinct()
+    )
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = (
+        oriented.join(m, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+    )
+    selfe = m.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+    return nbrs.union(selfe).distinct()
+
+
+def _checksum(edges: DataFrame):
+    """Order-insensitive (count, sum-of-hash) fingerprint of an edge set."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # decimal(38,0) accumulator: a sum of 64-bit hashes overflows long
+        F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          max_iter: int = 20,
                          checkpoint: bool = True) -> DataFrame:
     """edges(src, dst) undirected (+ optional nodes(node) to keep
-    singletons) -> (node, component_id) with component_id = min label."""
-    sym = (
+    singletons) -> (node, component_id) with component_id = min label.
+
+    Raises RuntimeError if the star iteration has not converged after
+    ``max_iter`` rounds (returning silently would hand wrong component ids
+    downstream); for arbitrary graphs max_iter=20 covers > 2^20 nodes."""
+    cur = (
         edges.select("src", "dst")
-        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .union(edges.select(F.col("src").alias("src"), F.col("src").alias("dst")))
-        .union(edges.select(F.col("dst").alias("src"), F.col("dst").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"))
+        .distinct()
+    )
+    if checkpoint:
+        cur = cur.localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    converged = prev_sig[0] == 0
+    for _ in range(max_iter):
+        if converged:
+            break
+        cur = _small_star(_large_star(cur))
+        if checkpoint:
+            cur = cur.localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        converged = sig == prev_sig
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # at convergence `cur` is a star forest: (child, root) with root = the
+    # component minimum.  Label every node; absent nodes are singletons.
+    labels = (
+        cur.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+        .union(cur.select(F.col("dst").alias("node"),
+                          F.col("dst").alias("comp")))
+        .groupBy("node").agg(F.min("comp").alias("comp"))
     )
     if nodes is not None:
-        sym = sym.union(nodes.select(F.col("node").alias("src"),
-                                     F.col("node").alias("dst")))
-    sym = sym.distinct()
-    labels = sym.groupBy("src").agg(F.min("dst").alias("comp")) \
-                .withColumnRenamed("src", "node")
-
-    for _ in range(max_iter):
-        # propagate: node takes min(comp) over itself and its neighbors
-        nbr = (
-            sym.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy("src").agg(F.min("comp").alias("nbr_comp"))
-            .withColumnRenamed("src", "node")
+        labels = (
+            nodes.select("node").distinct()
+            .join(labels, "node", "left")
+            .select("node", F.coalesce("comp", "node").alias("comp"))
         )
-        new_labels = (
-            labels.join(nbr, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
-            )
-        )
-        if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp")).limit(1).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
     return labels.withColumnRenamed("comp", "component_id")
 
 

@@ -53,8 +53,10 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """-> distinct (doc_id, shingle): word n-grams via higher-order array
-    functions (no UDF)."""
-    words = F.split(F.col(text_col), " ")
+    functions (no UDF).  Splits on whitespace runs (not a single space):
+    real text with consecutive spaces/newlines would otherwise produce
+    empty-string shingle members."""
+    words = F.split(F.col(text_col), r"\s+")
     # guard: sequence(0, -1) is DESCENDING in Spark, so texts shorter than
     # n words would produce slice(words, 0, n) and crash — emit no shingles
     grams = F.when(
@@ -114,10 +116,21 @@ def minhash_signatures(sh: DataFrame, k: int = N_HASHES) -> DataFrame:
         "doc_id", F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig"))
 
 
-def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS,
+                        k: int | None = None) -> DataFrame:
     """Band the signatures and join on (band, band-hash) -> candidate
-    (doc_a, doc_b) pairs. Shuffles on the band key only."""
-    k = N_HASHES
+    (doc_a, doc_b) pairs. Shuffles on the band key only.
+
+    ``k`` (signature length) defaults to the actual length of the first
+    signature, so signatures built with a non-default k band correctly
+    instead of slicing past the array (an empty slice hashes identically
+    for every doc => all-pairs blowup)."""
+    if k is None:
+        row = sig.select(F.size("sig").alias("k")).limit(1).collect()
+        k = row[0]["k"] if row else N_HASHES
+    if k % n_bands != 0:
+        raise ValueError(f"signature length {k} not divisible by "
+                         f"n_bands {n_bands}")
     rows_per_band = k // n_bands
     bands = sig.select(
         "doc_id",
@@ -141,13 +154,13 @@ def lsh_candidate_pairs(sig: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
 
 def lsh_dedup_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
                     id_col: str = "doc_id", text_col: str = "text",
-                    n_bands: int = N_BANDS) -> DataFrame:
+                    n_bands: int = N_BANDS, k: int = N_HASHES) -> DataFrame:
     """The scale path: LSH banding for candidates, exact Jaccard computed
     *only on candidate pairs* — same output contract as jaccard_pairs but
     near-linear shuffle volume (the all-pairs shingle self-join never
     happens; candidate count is bounded by band-bucket sizes)."""
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    cand = lsh_candidate_pairs(minhash_signatures(sh), n_bands)
+    cand = lsh_candidate_pairs(minhash_signatures(sh, k), n_bands, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -177,7 +190,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bit over all token occurrences."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("tok"),
     ).withColumn("h", hash32("tok"))
     votes = [
         F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1)

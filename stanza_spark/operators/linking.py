@@ -45,3 +45,83 @@ def unlinked_mentions(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     a = F.broadcast(aliases.select(F.lower("alias").alias("alias_l")))
     m = mentions.withColumn("alias_l", F.lower("mention"))
     return m.join(a, "alias_l", "left_anti").drop("alias_l")
+
+
+def _char_ngrams(col, n: int = 3):
+    """Distinct character n-grams of a string column (whole string when
+    shorter than n), as a pure higher-order-function expression."""
+    c = F.lower(col)
+    return F.when(
+        F.length(c) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.length(c) - n + 1),
+                        lambda i: c.substr(i, F.lit(n)))),
+    ).otherwise(F.array(c))
+
+
+def fuzzy_link_mentions(mentions: DataFrame, aliases: DataFrame,
+                        threshold: float = 0.6, n: int = 3) -> DataFrame:
+    """Fuzzy fallback for dict-miss mentions (SURVEY C3): char-n-gram
+    Jaccard blocking of the anti-join residue against the alias
+    dictionary, best alias per surface above ``threshold``.
+
+    Scale shape: matching runs once per DISTINCT miss surface (typo
+    populations are tiny relative to occurrences), candidates come from a
+    shared-n-gram join against the *broadcast* alias gram table — never an
+    all-pairs comparison — and occurrences get their link back through a
+    broadcast join on the surface.  This is the corpus-scale analog of the
+    reference's dict-then-expensive-model ensemble
+    (/root/reference/stanza/models/lemma/trainer.py:236-269)."""
+    residue = unlinked_mentions(mentions, aliases)
+    surfaces = residue.select(F.lower("mention").alias("m_l")).distinct()
+    m_grams = surfaces.select(
+        "m_l", F.explode(_char_ngrams(F.col("m_l"), n)).alias("gram"))
+    m_sizes = m_grams.groupBy("m_l").agg(F.count(F.lit(1)).alias("m_n"))
+
+    a = aliases.select(F.lower("alias").alias("alias_l"), "entity_id",
+                       "canonical_name", "entity_type").distinct()
+    a_grams = a.select(
+        "alias_l", "entity_id", "canonical_name", "entity_type",
+        F.explode(_char_ngrams(F.col("alias_l"), n)).alias("gram"))
+    a_sizes = a_grams.groupBy("alias_l").agg(F.count(F.lit(1)).alias("a_n"))
+
+    inter = (
+        m_grams.join(F.broadcast(a_grams), "gram")
+        .groupBy("m_l", "alias_l", "entity_id", "canonical_name",
+                 "entity_type")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    scored = (
+        inter.join(m_sizes, "m_l").join(F.broadcast(a_sizes), "alias_l")
+        .withColumn("jaccard",
+                    F.col("inter")
+                    / (F.col("m_n") + F.col("a_n") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy("m_l").orderBy(
+        F.col("jaccard").desc(), F.col("alias_l").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("m_l", "entity_id", "canonical_name", "entity_type")
+    )
+    return (
+        residue.withColumn("m_l", F.lower("mention"))
+        .join(F.broadcast(best), "m_l")
+        .select("url", "sent_id", "mention", "type",
+                "entity_id", "canonical_name", "entity_type")
+    )
+
+
+def link_mentions_with_fallback(mentions: DataFrame, aliases: DataFrame,
+                                threshold: float = 0.6) -> DataFrame:
+    """Dict-first ensemble: exact broadcast-join links plus fuzzy links
+    for the residue, tagged by ``method`` — the coalesce order of the
+    reference's lemma ensemble (dict hit wins; the expensive path only
+    ever sees misses)."""
+    exact = link_mentions(mentions, aliases).withColumn(
+        "method", F.lit("exact"))
+    fuzzy = fuzzy_link_mentions(mentions, aliases, threshold).withColumn(
+        "method", F.lit("fuzzy"))
+    return exact.unionByName(fuzzy)

@@ -27,10 +27,19 @@ def decode_mentions(words: DataFrame) -> DataFrame:
         F.expr("substring(ner, 3)").alias("type"),
     )
     w = Window.partitionBy("url", "sent_id").orderBy("word_id")
-    seg = tagged.withColumn(
-        "seg",
-        F.sum(F.when(F.col("pos_tag").isin("B", "S"), 1).otherwise(0)).over(w),
-    )
+    # A segment opens exactly where the reference's state machine starts a
+    # new entity (ner/utils.py:218-264): on B-/S-, after an O gap (flush),
+    # or right after an E-/S- (the previous span was closed) — so even
+    # malformed sequences like B-E-E or I,O,I decode identically.
+    prev_id = F.lag("word_id").over(w)
+    prev_tag = F.lag("pos_tag").over(w)
+    is_start = F.when(
+        F.col("pos_tag").isin("B", "S")
+        | prev_id.isNull()
+        | (prev_id != F.col("word_id") - 1)
+        | prev_tag.isin("E", "S"),
+        1).otherwise(0)
+    seg = tagged.withColumn("seg", F.sum(is_start).over(w))
     return (
         seg.groupBy("url", "sent_id", "seg")
         .agg(
@@ -41,7 +50,10 @@ def decode_mentions(words: DataFrame) -> DataFrame:
                 ),
                 " ",
             ).alias("mention"),
-            F.max("type").alias("type"),
+            # type of the LAST tag in the segment — the reference's decode
+            # overwrites cur_type per tag, so a malformed mixed-type span
+            # resolves to its final tag's type (ner/utils.py:218-264)
+            F.max_by("type", "word_id").alias("type"),
             F.min("start_char").alias("start_char"),
             F.max("end_char").alias("end_char"),
             F.min("word_id").alias("first_word_id"),

@@ -9,7 +9,10 @@
 * `signlsh_topk` — the scale path: bucket vectors by the sign pattern of a
   few fixed coordinates (a deterministic stand-in for random-hyperplane
   LSH), probe only matching buckets, then exact-rank inside the bucket.
-  Recall vs brute force is asserted in tests.
+  Recall vs brute force is asserted in
+  tests/test_operators_spark.py::test_signlsh_recall_vs_brute_force, and
+  the bucket+rank computation is value-checked against a DuckDB oracle
+  (gate `text_ann_signlsh`).
 """
 
 from __future__ import annotations
@@ -52,31 +55,62 @@ def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     )
 
 
-def sign_bucket(vec_col, n_dims: int = 8):
-    """Deterministic sign-pattern bucket id over the first n_dims coords."""
+def sign_bucket(vec_col, n_dims: int = 8, offset: int = 0):
+    """Deterministic sign-pattern bucket id over n_dims coords starting at
+    ``offset`` (each bit = sign of one coordinate: no float summation, so
+    the bit is bit-reproducible across engines)."""
     terms = None
     for j in range(n_dims):
-        t = F.when(F.element_at(F.col(vec_col), j + 1) > 0,
+        t = F.when(F.element_at(F.col(vec_col), offset + j + 1) > 0,
                    F.lit(1 << j)).otherwise(F.lit(0))
         terms = t if terms is None else terms + t
     return terms.cast("int")
 
 
+def _sign_tables(df: DataFrame, id_col: str, vec_col: str,
+                 n_bits: int, n_tables: int, out_id: str) -> DataFrame:
+    """-> (out_id, t, bucket): one row per (vector, hash table); table t
+    buckets on the signs of coordinates [t*n_bits, (t+1)*n_bits)."""
+    buckets = F.array(*[
+        sign_bucket(vec_col, n_bits, t * n_bits) for t in range(n_tables)])
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(buckets).alias("t", "bucket"),
+    )
+
+
 def signlsh_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_dims: int = 6) -> DataFrame:
-    """Bucketed ANN: probe only vectors in the query's sign bucket.
-    Same output contract as cosine_topk (approximate: rank within bucket)."""
-    bucketed = emb.withColumn("bucket", sign_bucket(vec_col, n_dims))
-    q = F.broadcast(
-        bucketed.join(query_ids, bucketed[id_col] == query_ids["query_id"])
-        .select("query_id", F.col(vec_col).alias("qvec"), "bucket")
-    )
-    c = bucketed.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("nvec"), "bucket")
-    scored = (
-        q.join(c, "bucket")
+                 n_bits: int = 3, n_tables: int = 8) -> DataFrame:
+    """Multi-table sign-LSH ANN (banded, the Charikar random-hyperplane
+    scheme with deterministic axis-aligned planes): a corpus vector is a
+    candidate if it shares *any* table's bucket with the query, then exact
+    cosine ranks the candidates.  Same output contract as cosine_topk.
+
+    Recall for a neighbor at angle θ is 1-(1-p^b)^L with p = 1-θ/π: at the
+    default (b=3, L=8) that is ≥ 0.86 even for the near-uniform synthetic
+    embeddings (θ ≈ 71°); clustered real-world corpora get both higher
+    recall and a real candidate-set reduction.  Candidate generation joins
+    narrow (id, t, bucket) tables only — vectors are re-attached by id
+    afterwards, so the LSH shuffle never carries the embedding payload.
+    Recall vs brute force is asserted in
+    tests/test_operators_spark.py::test_signlsh_recall_vs_brute_force."""
+    q = emb.join(query_ids, emb[id_col] == query_ids["query_id"])
+    qvecs = q.select("query_id", F.col(vec_col).alias("qvec"))
+    qb = F.broadcast(
+        _sign_tables(q, "query_id", vec_col, n_bits, n_tables, "query_id"))
+    cb = _sign_tables(emb, id_col, vec_col, n_bits, n_tables, "neighbor_id")
+    cand = (
+        qb.join(cb, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand
+        .join(emb.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("nvec")), "neighbor_id")
+        .join(F.broadcast(qvecs), "query_id")
         .withColumn("cos_sim", _cosine(F.col("qvec"), F.col("nvec")))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .synth import (
     Dialect, pages_select, sentences_select, tokens_select,
     gold_triples_select, gold_mentions_select, gold_pos_lemma_select,
-    gold_links_select, gold_graph_select, gold_components_select,
+    gold_links_select, gold_links_fuzzy_select, gold_graph_select,
+    gold_components_select, gold_mentions_multi_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -24,7 +25,8 @@ from .operators.annotate import annotate, triples_narrow
 from .operators.tokenize_sql import sentences_from_pages, tokens_sql
 from .operators.mentions import decode_mentions
 from .operators.triples import extract_triples
-from .operators.linking import alias_df, link_mentions
+from .operators.linking import (alias_df, link_mentions,
+                                link_mentions_with_fallback)
 from .operators.canonicalize import canonicalize
 from .operators.graph import materialize_graph
 
@@ -109,6 +111,24 @@ def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(m, alias_df(spark))
 
 
+def q_kg_mentions_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-model NER with earlier-model-precedence merge (op 14,
+    merge_tags analog): the secondary role/year tagger fills O gaps
+    ("president" -> S-ROLE) but never overwrites the primary model
+    (years stay S-DATE, not S-YEAR)."""
+    from .operators.ner_merge import merge_ner_tags
+    w = merge_ner_tags(_words(spark, sf_dir, cache=True))
+    return decode_mentions(w).select("url", "sent_id", "mention", "type")
+
+
+def q_kg_links_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-then-fuzzy link ensemble (C3): exact broadcast-alias links
+    plus char-ngram-Jaccard fuzzy links for the anti-join residue (the
+    corrupted PC surfaces planted by the grammar)."""
+    m = decode_mentions(_words(spark, sf_dir, cache=True))
+    return link_mentions_with_fallback(m, alias_df(spark))
+
+
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir, cache=True)
     m = decode_mentions(w).localCheckpoint(eager=True)
@@ -160,7 +180,9 @@ KG_QUERIES = {
     "kg_pos_lemma": q_kg_pos_lemma,
     "kg_sentiment": q_kg_sentiment,
     "kg_mentions": q_kg_mentions,
+    "kg_mentions_multi": q_kg_mentions_multi,
     "kg_links": q_kg_links,
+    "kg_links_fuzzy": q_kg_links_fuzzy,
     "kg_triples": q_kg_triples,
     "kg_triples_narrow": q_kg_triples_narrow,
     "kg_graph_edges": q_kg_graph_edges,
@@ -183,7 +205,9 @@ def kg_oracles() -> dict[str, str]:
         "kg_pos_lemma": gold_pos_lemma_select(d),
         "kg_sentiment": _sentiment_oracle(d),
         "kg_mentions": gold_mentions_select(d),
+        "kg_mentions_multi": gold_mentions_multi_select(d),
         "kg_links": gold_links_select(d),
+        "kg_links_fuzzy": gold_links_fuzzy_select(d),
         "kg_triples": gold_triples_select(d),
         "kg_triples_narrow": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),

@@ -115,7 +115,7 @@ TEXTOPS_QUERIES = {
     "text_minhash_signatures": q_minhash_signatures,
     "text_simhash": q_simhash,
     "text_ann_topk": q_ann_topk,
-    "text_ann_signlsh": q_ann_signlsh,  # approximate: rows-only check
+    "text_ann_signlsh": q_ann_signlsh,
     "text_embedding_nn": q_embedding_nn,
     "text_langid": q_langid,
     "text_quality": q_quality,
@@ -129,9 +129,9 @@ TEXTOPS_QUERIES = {
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_SHINGLES = """
+_SHINGLES = r"""
     SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS w FROM documents),
+    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
          LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
 """
 
@@ -189,7 +189,7 @@ def textops_oracles() -> dict[str, str]:
         "text_simhash": f"""
             WITH t AS (
               SELECT doc_id, {_H32.format(x='tok')} AS h
-              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS tok
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
                     FROM documents)),
             v AS (
               SELECT doc_id, b.i AS b,
@@ -207,6 +207,32 @@ def textops_oracles() -> dict[str, str]:
             s AS (
               SELECT q.query_id, e.vec_id AS neighbor_id, {cos} AS cos
               FROM q, embeddings e WHERE e.vec_id != q.query_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id, round(cos, 6) AS cos_sim
+            FROM s
+            QUALIFY rank <= {ANN_K}
+        """,
+        "text_ann_signlsh": f"""
+            WITH b AS (
+              SELECT vec_id, t.t AS t,
+                     CAST(list_aggregate(list_transform(generate_series(0, 2),
+                          j -> CASE WHEN embedding[t.t * 3 + j + 1] > 0
+                               THEN 1 << j ELSE 0 END), 'sum') AS INT)
+                       AS bucket
+              FROM embeddings,
+                   (SELECT unnest(generate_series(0, 7)) AS t) t),
+            cand AS (
+              SELECT DISTINCT qb.vec_id AS query_id, e.vec_id AS neighbor_id
+              FROM b qb JOIN b e ON qb.t = e.t AND qb.bucket = e.bucket
+              WHERE qb.vec_id < {ANN_QUERIES} AND e.vec_id != qb.vec_id),
+            s AS (
+              SELECT c.query_id, c.neighbor_id, {cos} AS cos
+              FROM cand c
+              JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) q
+                ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
             SELECT query_id,
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id) AS INT) AS rank,

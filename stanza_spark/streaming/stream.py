@@ -24,10 +24,14 @@ PAGES_SCHEMA = ("doc_id bigint, url string, warc_ts timestamp, "
 
 def stream_pages_to_triples(spark: SparkSession, input_dir: str,
                             out_dir: str, checkpoint_dir: str):
-    """File-source stream of pages -> annotate -> triples, appended to
-    parquet via foreachBatch.  availableNow trigger: drains everything
-    currently in the source then stops (incremental batch, resumable via
-    the checkpoint)."""
+    """File-source stream of pages -> annotate -> triples via foreachBatch.
+    availableNow trigger: drains everything currently in the source then
+    stops (incremental batch, resumable via the checkpoint).
+
+    Exactly-once sink: each micro-batch overwrites its own
+    ``batch_id=<n>`` subdirectory, so a batch replayed after a partial
+    write replaces its previous output instead of duplicating it (the
+    foreachBatch idempotent-sink pattern; readers scan ``out_dir/*``)."""
     src = (
         spark.readStream.schema(PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -38,7 +42,7 @@ def stream_pages_to_triples(spark: SparkSession, input_dir: str,
         w = annotate(batch_df).localCheckpoint(eager=True)
         m = decode_mentions(w).localCheckpoint(eager=True)
         t = extract_triples(w, m)
-        t.write.mode("append").parquet(out_dir)
+        t.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     return (
         src.writeStream.foreachBatch(process_batch)

@@ -95,6 +95,11 @@ def slot_expr(d: Dialect, slot: str, I: str) -> str:
     """SQL for the surface string of a template slot."""
     if slot == "P":
         return d.idx(d.arr(V.PERSONS), _ix("p", I))
+    if slot == "PC":
+        # corrupted person surface: name + doubled final char (vocab.
+        # corrupt_name) — misses the exact alias dict, fuzzy-links back
+        p = d.idx(d.arr(V.PERSONS), _ix("p", I))
+        return f"concat({p}, substr({p}, length({p}), 1))"
     if slot == "O":
         return d.idx(d.arr(V.ORGS), _ix("o", I))
     if slot == "O2":
@@ -112,7 +117,7 @@ def template_text_expr(d: Dialect, parts, I: str) -> str:
     """concat(...) building one template instance."""
     frags = []
     for p in parts:
-        if p in ("P", "O", "O2", "G", "Y", "H"):
+        if p in ("P", "PC", "O", "O2", "G", "Y", "H"):
             frags.append(slot_expr(d, p, I))
         else:
             frags.append(d.str_lit(p))
@@ -141,9 +146,24 @@ def url_expr(d: Dialect) -> str:
     return URL_EXPR.format(cid=d.cast_str("doc_id"))
 
 
+def lead_sep_expr(I: str) -> str:
+    """Separator placed *before* sentence I: '' for the first sentence,
+    a blank line (paragraph break) every PARA_EVERY-th sentence, a single
+    space otherwise.  chr(10) keeps the literal dialect-portable (DuckDB
+    regular strings do not process backslash escapes)."""
+    return (f"CASE WHEN ({I}) = 0 THEN '' "
+            f"WHEN (doc_id + ({I})) % {V.PARA_EVERY} = 0 "
+            f"THEN (chr(10) || chr(10)) ELSE ' ' END")
+
+
+def lead_sep_len_expr(I: str) -> str:
+    return (f"CASE WHEN ({I}) = 0 THEN 0 "
+            f"WHEN (doc_id + ({I})) % {V.PARA_EVERY} = 0 THEN 2 ELSE 1 END")
+
+
 def pages_text_expr(d: Dialect) -> str:
-    return d.transform_join("0", f"{N_SENTS} - 1", "i", sent_text_expr(d, "i"),
-                            V.SENT_SEP)
+    body = f"concat({lead_sep_expr('i')}, {sent_text_expr(d, 'i')})"
+    return d.transform_join("0", f"{N_SENTS} - 1", "i", body, "")
 
 
 def pages_select(d: Dialect) -> str:
@@ -154,8 +174,9 @@ def pages_select(d: Dialect) -> str:
 
 def sentences_select(d: Dialect) -> str:
     """pages exploded to (doc_id, url, lang, sent_id, text, start_char,
-    end_char); offsets are char offsets into pages.text (sentences joined by
-    a single space)."""
+    end_char); offsets are char offsets into pages.text (sentences joined
+    by a single space, or a blank line at paragraph boundaries — see
+    lead_sep_expr)."""
     st = sent_text_expr(d, "i")
     if d.name == "spark":
         base = (f"SELECT doc_id, {url_expr(d)} AS url, lang, i AS sent_id, "
@@ -167,17 +188,16 @@ def sentences_select(d: Dialect) -> str:
                     f"FROM documents")
         base = (f"SELECT doc_id, url, lang, i AS sent_id, {st} AS text "
                 f"FROM ({exploded})")
+    with_sep = (f"SELECT *, {lead_sep_len_expr('sent_id')} AS leadsep "
+                f"FROM ({base})")
+    cum = ("coalesce(sum(length(text) + leadsep) OVER "
+           "(PARTITION BY doc_id ORDER BY sent_id "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")
     return (
         "SELECT doc_id, url, lang, sent_id, text, "
-        "CAST(coalesce(sum(length(text) + 1) OVER "
-        "(PARTITION BY doc_id ORDER BY sent_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
-        "AS start_char, "
-        "CAST(coalesce(sum(length(text) + 1) OVER "
-        "(PARTITION BY doc_id ORDER BY sent_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
-        "+ length(text) AS BIGINT) AS end_char "
-        f"FROM ({base})"
+        f"CAST({cum} + leadsep AS BIGINT) AS start_char, "
+        f"CAST({cum} + leadsep + length(text) AS BIGINT) AS end_char "
+        f"FROM ({with_sep})"
     )
 
 
@@ -204,7 +224,8 @@ def gold_triples_select(d: Dialect) -> str:
 
     def obj(tr):
         o = tr[2]
-        return slot_expr(d, o, "sent_id") if o in ("P", "O", "O2", "G", "Y") \
+        return slot_expr(d, o, "sent_id") \
+            if o in ("P", "PC", "O", "O2", "G", "Y") \
             else d.str_lit(o)
 
     def styp(tr):
@@ -238,6 +259,10 @@ MENTION_SLOTS = {
     10: [("Y", "DATE")],
     11: [("O", "ORG"), ("Y", "DATE")],
     12: [("O", "ORG"), ("Y", "DATE")],
+    13: [],
+    14: [],
+    15: [],
+    16: [("PC", "MISC"), ("O", "ORG"), ("Y", "DATE")],
 }
 
 
@@ -378,6 +403,48 @@ def gold_links_select(d: Dialect) -> str:
         f"SELECT m.url, m.sent_id, m.mention, m.type, a.entity_id, "
         f"a.canonical_name, a.entity_type "
         f"FROM ({m}) m JOIN {a} a ON lower(m.mention) = lower(a.alias)"
+    )
+
+
+PC_TID = next(i for i, (parts, _) in enumerate(V.TEMPLATES)
+              if "PC" in parts)
+ROLE_TIDS = [i for i, (parts, _) in enumerate(V.TEMPLATES)
+             if any("president" in p for p in parts if isinstance(p, str))]
+
+
+def gold_mentions_multi_select(d: Dialect) -> str:
+    """Merged-model mention gold: the primary-model mentions (which keep
+    their types — S-DATE beats the secondary's S-YEAR by earlier-model
+    precedence) plus the role mentions only the secondary model finds."""
+    inner = sentences_select(d)
+    tid = _ix("tid", "sent_id")
+    tids = ", ".join(str(t) for t in ROLE_TIDS)
+    return (
+        f"{gold_mentions_select(d)} UNION ALL "
+        f"SELECT url, sent_id, 'president' AS mention, 'ROLE' AS type "
+        f"FROM ({inner}) WHERE lang = 'en' AND {tid} IN ({tids})"
+    )
+
+
+def gold_links_fuzzy_select(d: Dialect) -> str:
+    """Dict-first link ensemble gold: every exact alias link (method
+    'exact') plus the grammar-known fuzzy resolutions of the corrupted
+    PC surfaces (method 'fuzzy')."""
+    inner = sentences_select(d)
+    pc = slot_expr(d, "PC", "sent_id")
+    pix = _ix("p", "sent_id")
+    person = d.idx(d.arr(V.PERSONS), pix)
+    exact = gold_links_select(d)
+    tid = _ix("tid", "sent_id")
+    return (
+        f"SELECT url, sent_id, mention, type, entity_id, canonical_name, "
+        f"entity_type, 'exact' AS method FROM ({exact}) "
+        f"UNION ALL "
+        f"SELECT url, sent_id, {pc} AS mention, 'MISC' AS type, "
+        f"concat('P', {d.cast_str(pix)}) AS entity_id, "
+        f"{person} AS canonical_name, 'PERSON' AS entity_type, "
+        f"'fuzzy' AS method "
+        f"FROM ({inner}) WHERE lang = 'en' AND {tid} = {PC_TID}"
     )
 
 

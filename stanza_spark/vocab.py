@@ -124,7 +124,25 @@ TEMPLATES = [
     # 11/12: sentiment-bearing fillers (op 19), no verb -> no triple
     (["O", " was praised as excellent in ", "Y", "."], None),
     (["O", " was criticized as terrible in ", "Y", "."], None),
+    # 13-15: web-text URL/email forms exercising the reference's MASK_RE
+    # override shapes (tokenization/utils.py:199-205): schemeless www URL,
+    # lowercase email, bare domain with extra TLD.  All single tokens; no
+    # verb root -> no triple.
+    (["Read more at www.portal", "H", ".org now."], None),
+    (["Contact info", "H", "@support.example.com today."], None),
+    (["Archives live at data", "H", ".co.uk daily."], None),
+    # 16: corrupted person surface (name + doubled final char, e.g.
+    # "Barack Obamaa") — exact alias lookup misses; links only through the
+    # fuzzy char-ngram fallback (operator C3's dict-then-fuzzy ensemble,
+    # the lemma/trainer.py:236-269 shape).
+    (["PC", " joined ", "O", " in ", "Y", "."],
+     ("PC", "join", "O", "MISC", "ORG")),
 ]
+
+# Deterministic surface corruption for slot PC (fuzzy-linking exercise):
+# the full person name with its final character doubled.
+def corrupt_name(name: str) -> str:
+    return name + name[-1]
 
 # Sentiment lexicon (op 19: per-sentence classifier stand-in;
 # 0=negative 1=neutral 2=positive like the reference's sentiment labels,
@@ -154,7 +172,12 @@ MIX = {
 }
 # o2 = (o + 1 + doc_id % (len(ORGS)-1)) % len(ORGS)  -> always != o
 
-SENT_SEP = " "  # single space joins sentences within a page
+SENT_SEP = " "   # default separator between sentences within a page
+PARA_SEP = "\n\n"  # paragraph break (blank line), exercising the
+                   # reference's NEWLINE_WHITESPACE_RE split
+                   # (tokenization/data.py:124,152-154)
+PARA_EVERY = 5   # sentence i>0 opens a new paragraph iff
+                 # (doc_id + i) % PARA_EVERY == 0
 
 
 # --------------------------------------------------------------------------
@@ -169,11 +192,35 @@ SENT_SEP = " "  # single space joins sentences within a page
 # tokenize differently across engines (caught by hypothesis,
 # tests/test_regex_parity.py).  Literal characters/ranges mean the same
 # thing in all three engines.
-WS_CLASS = ("\t\n\r\x0b\x0c \u00a0\u1680"
+WS_CLASS = ("\t\n\r\x0b\x0c \u0080-\u009f\u00a0\u1680"
             "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000")
+# C1 controls \u0080-\u009f are whitespace per the reference's
+# WHITESPACE_RE (`[\s\u0080-\u009f]`,
+# /root/reference/stanza/models/tokenization/data.py:129) \u2014 they never
+# become token characters.
 
-URL_RE = rf"https?://[^{WS_CLASS}<>\"]+"
-EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# URL/email token shapes: RE2+java.util.regex+python-re-compatible port of
+# the reference's URL_RAW_RE / EMAIL_RAW_RE
+# (/root/reference/stanza/models/tokenization/utils.py:199-205):
+#  * scheme form  https?://host.rest
+#  * schemeless   www.host.rest
+#  * bare domain  label.(gov|org|edu|net|com|co).rest  (the reference
+#    requires the extra `.rest`: bare `example.com` alone does NOT mask)
+# The reference's `(?!www)` lookahead (rejecting scheme-URLs whose host
+# merely *starts* with "www", e.g. `https://wwwfoo.com`) has no RE2
+# equivalent and is dropped; emails are lowercase-only exactly like the
+# reference.  The Arrow annotator applies the verbatim-semantics reference
+# regexes (operators.annotate.MASK_PAT); agreement of the two on realistic
+# web-text forms is asserted in tests/test_annotate.py.
+_HOST_RE = r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?"
+_URL_REST = rf"[^{WS_CLASS}<>\"]{{2,}}"
+URL_RE = (rf"(?:https?://(?:www\.)?{_HOST_RE}\.{_URL_REST}"
+          rf"|www\.{_HOST_RE}\.{_URL_REST}"
+          rf"|[A-Za-z0-9]+\.(?:gov|org|edu|net|com|co)\.{_URL_REST})")
+_EMAIL_ATOM = r"[a-z0-9!#$%&'*+/=?^_`{|}~-]+"
+_EMAIL_LABEL = r"[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+EMAIL_RE = (rf"{_EMAIL_ATOM}(?:\.{_EMAIL_ATOM})*"
+            rf"@(?:{_EMAIL_LABEL}\.)+{_EMAIL_LABEL}")
 WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?"
 NUM_RE = r"[0-9]+(?:[.,][0-9]+)*"
 PUNCT_RE = rf"[^A-Za-z0-9{WS_CLASS}]"
@@ -233,6 +280,7 @@ VERB_LEXICON = {
     "acquired": ("VBD", "acquire"),
     "moved": ("VBD", "move"),
     "visited": ("VBD", "visit"),
+    "joined": ("VBD", "join"),
     "works": ("VBZ", "work"),
     "born": ("VBN", "bear"),
     "elected": ("VBN", "elect"),

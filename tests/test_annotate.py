@@ -131,6 +131,125 @@ def test_align_pretokenized():
         align_pretokenized(text, ["Nope"])
 
 
+# ---------------------------------------------------------------------------
+# Web-text fidelity: MASK_RE behavior transcribed from the reference
+# (/root/reference/stanza/models/tokenization/utils.py:199-248).  Expected
+# values below are the *measured* behavior of the reference's
+# EMAIL_RAW_RE/URL_RAW_RE on each string (including its quirks: bare
+# `example.com` does NOT mask; a glued trailing `.`/`)` is swallowed).
+# ---------------------------------------------------------------------------
+
+def _first_sent_tokens(text):
+    sents = split_sentences(text)
+    return [t for t, _, _ in sents[0][2]]
+
+
+def test_mask_www_url_single_token():
+    toks = _first_sent_tokens("Visit www.portal12.org now.")
+    assert toks == ["Visit", "www.portal12.org", "now", "."]
+
+
+def test_mask_bare_domain_with_extra_tld():
+    toks = _first_sent_tokens("Archives live at data123.co.uk daily.")
+    assert toks == ["Archives", "live", "at", "data123.co.uk", "daily", "."]
+
+
+def test_mask_bare_domain_alone_does_not_mask():
+    # reference behavior: `[a-zA-Z0-9]+\.(gov|org|...)` REQUIRES a further
+    # `.rest`; plain example.com splits into word tokens (and the bare dot
+    # is then an ordinary sentence-end candidate for the rule engine)
+    sents = split_sentences("Go to example.com for info.")
+    flat = [t for _, _, toks in sents for t, _, _ in toks]
+    assert flat == ["Go", "to", "example", ".", "com", "for", "info", "."]
+
+
+def test_mask_lowercase_email_only():
+    assert _first_sent_tokens("mail info12@support.example.com today.") == \
+        ["mail", "info12@support.example.com", "today", "."]
+    # uppercase local part does not mask in the reference (EMAIL_RAW_RE is
+    # lowercase-only); falls back to ordinary tokens
+    toks = _first_sent_tokens("mail Info12@support.example.com today.")
+    assert "Info12@support.example.com" not in toks
+
+
+def test_mask_swallows_glued_trailing_punct():
+    # the reference's `[^\s"]{2,}` tail is greedy: `www.foo.org.` at
+    # sentence end is ONE token including the final dot — and therefore
+    # does not close the sentence (word-break, not sentence-break)
+    sents = split_sentences("trailing www.foo.org. Next one.")
+    assert [t for t, _, _ in sents[0][2]][:2] == ["trailing", "www.foo.org."]
+    toks = _first_sent_tokens("parens (www.foo.org) here.")
+    assert toks == ["parens", "(", "www.foo.org)", "here", "."]
+
+
+def test_mask_scheme_url_mid_sentence():
+    toks = _first_sent_tokens("See https://example.org/kb/7.html for details.")
+    assert toks == ["See", "https://example.org/kb/7.html", "for",
+                    "details", "."]
+
+
+# ---------------------------------------------------------------------------
+# Paragraph preprocessing transcribed from the reference
+# (tokenization/data.py:110-170): blank-line split, C1-control handling.
+# ---------------------------------------------------------------------------
+
+def test_paragraph_break_forces_sentence_end_without_punct():
+    sents = split_sentences("unban mox opal\n\nthe second paragraph")
+    assert len(sents) == 2
+    assert [t for t, _, _ in sents[0][2]] == ["unban", "mox", "opal"]
+    assert [t for t, _, _ in sents[1][2]] == ["the", "second", "paragraph"]
+
+
+def test_paragraph_split_with_interior_whitespace_and_c1():
+    # NEWLINE_WHITESPACE_RE = \n[\s-]*\n (data.py:124): blank
+    # lines may contain spaces or C1 controls and still split
+    assert len(split_sentences("alpha one\n  \t \nbeta two")) == 2
+    assert len(split_sentences("alpha one\n\x85\nbeta two")) == 2
+    # a single newline is NOT a paragraph break
+    assert len(split_sentences("alpha one\nbeta two")) == 1
+
+
+def test_paragraph_offsets_stay_raw():
+    text = "first block\n\n\nsecond block here"
+    sents = split_sentences(text)
+    for _, _, toks in sents:
+        for t, a, b in toks:
+            assert text[a:b] == t
+
+
+def test_c1_control_is_whitespace_not_token():
+    # U+0097 stuck to a token (reference issue #1257, data.py:122-129)
+    toks = _first_sent_tokens("ctrl\x97stuck word.")
+    assert toks == ["ctrl", "stuck", "word", "."]
+
+
+def test_pretokenized_rejects_extra_text():
+    # reference match_tokens_with_text raises on too-long text
+    # (test_tokenize_utils.py:62-64)
+    from stanza_spark.operators.annotate import align_pretokenized
+    import pytest as _pytest
+    assert align_pretokenized("Thisisatest", ["This", "is", "a", "test"]) == \
+        [("This", 0, 4), ("is", 4, 6), ("a", 6, 7), ("test", 7, 11)]
+    with _pytest.raises(ValueError):
+        align_pretokenized("Thisisatestttt", ["This", "is", "a", "test"])
+    with _pytest.raises(ValueError):
+        align_pretokenized("Thisisates", ["This", "is", "a", "test"])
+    with _pytest.raises(ValueError):
+        align_pretokenized("Thisisatest", ["This", "iz", "a", "test"])
+
+
+def test_match_tokens_with_text_offsets_golden():
+    # exact offsets from the reference's test_match_tokens_with_text
+    # (test_tokenize_utils.py:47-60)
+    from stanza_spark.operators.annotate import align_pretokenized
+    got = align_pretokenized("Thisisatest  unban mox  opal!",
+                             ["This", "is", "a", "test",
+                              "unban", "mox", "opal", "!"])
+    assert [(a, b) for _, a, b in got] == [
+        (0, 4), (4, 6), (6, 7), (7, 11),
+        (13, 18), (19, 22), (24, 28), (28, 29)]
+
+
 def test_annotator_offsets_align_with_pretokenized_matcher():
     from stanza_spark.operators.annotate import align_pretokenized
     text = "Marie Curie founded Initech in Paris. See https://x.org/a.html now."

@@ -81,6 +81,90 @@ def test_linking_and_anti_join(spark):
     assert residue == ["Zorbly Qux"]
 
 
+def test_sql_bioes_decode_matches_reference_state_machine(spark):
+    """The distributed gaps-and-islands decode must reproduce the
+    reference decode_from_bioes on every transcribed case, malformed
+    sequences included (tests/test_ner_tags.py holds the same cases for
+    the pure-Python anchor)."""
+    from tests.test_ner_tags import DECODE_CASES
+    from stanza_spark.operators.ner_tags import decode_from_bioes
+    rows = []
+    for ci, (tags, _want) in enumerate(DECODE_CASES):
+        for wi, tag in enumerate(tags):
+            rows.append((f"c{ci}", 0, wi + 1, f"w{wi}", 0, 0,
+                         tag if tag is not None else "O"))
+    df = spark.createDataFrame(
+        rows, "url string, sent_id int, word_id int, text string, "
+              "start_char long, end_char long, ner string")
+    got = {}
+    for r in decode_mentions(df).collect():
+        got.setdefault(r.url, []).append(
+            (r.first_word_id - 1, r.last_word_id - 1, r.type))
+    for ci, (tags, _) in enumerate(DECODE_CASES):
+        want = sorted((s["start"], s["end"], s["type"])
+                      for s in decode_from_bioes(tags))
+        assert sorted(got.get(f"c{ci}", [])) == want, (ci, tags)
+
+
+def test_merge_ner_tags_precedence(spark):
+    """Relational span merge: the secondary tagger fills O gaps
+    (president -> S-ROLE) but never overwrites primary spans (2008 stays
+    S-DATE though the secondary says S-YEAR); multi_ner carries both."""
+    from stanza_spark.operators.ner_merge import merge_ner_tags
+    doc = "He was elected president in 2008."
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    w = merge_ner_tags(annotate(df))
+    by = {r.text: (r.ner, list(r.multi_ner)) for r in w.collect()}
+    assert by["president"] == ("S-ROLE", ["O", "S-ROLE"])
+    assert by["2008"] == ("S-DATE", ["S-DATE", "S-YEAR"])
+    assert by["elected"] == ("O", ["O", "O"])
+
+
+def test_merge_ner_tags_spark_equals_reference_merge(spark):
+    """Span-level relational merge == the reference merge_tags algorithm
+    on well-formed per-sentence sequences from the corpus sample."""
+    from stanza_spark.operators.ner_merge import (merge_ner_tags,
+                                                  secondary_ner_expr)
+    from stanza_spark.operators.ner_tags import merge_tags
+    p = pages(spark, SF_SMOKE, with_html=False).limit(40)
+    w = annotate(p).withColumn("_sec", secondary_ner_expr())
+    base = {}
+    for r in w.orderBy("url", "sent_id", "word_id").collect():
+        base.setdefault((r.url, r.sent_id), []).append((r.ner, r._sec))
+    merged = merge_ner_tags(annotate(p))
+    got = {}
+    for r in merged.orderBy("url", "sent_id", "word_id").collect():
+        got.setdefault((r.url, r.sent_id), []).append(r.ner)
+    for key, pairs in base.items():
+        prim = [a for a, _ in pairs]
+        sec = [b for _, b in pairs]
+        assert got[key] == merge_tags(prim, sec), key
+
+
+def test_fuzzy_linking_fallback(spark):
+    """Corrupted surfaces resolve through the char-ngram fuzzy path; dict
+    hits stay exact; year mentions (no alphabetic overlap) stay unlinked."""
+    from stanza_spark.operators.linking import (
+        fuzzy_link_mentions, link_mentions_with_fallback)
+    doc = "Barack Obamaa joined Initech in 1964. Obama attended Harvard."
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    m = decode_mentions(annotate(df))
+    a = alias_df(spark)
+    fuzzy = {r.mention: (r.entity_id, r.entity_type)
+             for r in fuzzy_link_mentions(m, a).collect()}
+    assert fuzzy == {"Barack Obamaa": ("P0", "PERSON")}
+    ens = [(r.mention, r.entity_id, r.method)
+           for r in link_mentions_with_fallback(m, a).collect()]
+    assert ("Barack Obamaa", "P0", "fuzzy") in ens
+    assert ("Obama", "P0", "exact") in ens
+    assert ("Initech", "O4", "exact") in ens
+    # the exact path never re-links through fuzzy (dict-first ensemble)
+    assert not any(meth == "fuzzy" and men != "Barack Obamaa"
+                   for men, _, meth in ens)
+
+
 def test_connected_components_chain_and_islands(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
@@ -91,6 +175,30 @@ def test_connected_components_chain_and_islands(spark):
             for r in connected_components(edges, nodes).collect()}
     assert comp == {"a": "a", "b": "a", "c": "a", "d": "a",
                     "x": "x", "y": "x", "lone": "lone"}
+
+
+def test_connected_components_deep_chain_log_rounds(spark):
+    """A 300-node path graph must converge well within 12 star rounds —
+    the O(log n) property of alternating large-star/small-star (plain
+    min-label propagation would need ~300 rounds; max_iter raises if the
+    claimed bound is violated)."""
+    n = 300
+    labels = [f"n{i:04d}" for i in range(n)]
+    edges = spark.createDataFrame(
+        [(labels[i], labels[i + 1]) for i in range(n - 1)],
+        "src string, dst string")
+    comp = {r.node: r.component_id
+            for r in connected_components(edges, max_iter=12).collect()}
+    assert len(comp) == n
+    assert set(comp.values()) == {"n0000"}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(63)],
+        "src string, dst string")
+    with pytest.raises(RuntimeError):
+        connected_components(edges, max_iter=1)
 
 
 def test_arrow_vs_sql_tokenizer_parity(spark):
@@ -181,6 +289,21 @@ def test_shingles_short_text_edge(spark):
     assert got == [(4, "w x y"), (4, "x y z")]
 
 
+def test_signlsh_recall_vs_brute_force(spark):
+    """Bucketed sign-LSH ANN must recover >= 80% of the exact top-k pairs
+    at the gate configuration (20 queries, k=5, 6 sign bits)."""
+    from stanza_spark.operators.similarity import cosine_topk, signlsh_topk
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = emb.filter(F.col("vec_id") < 20) \
+              .select(F.col("vec_id").alias("query_id"))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in signlsh_topk(emb, qids, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"sign-LSH recall {recall:.3f} < 0.8"
+
+
 def test_merge_graph_edges_incremental(spark, tmp_path):
     """Two incremental merges must equal one full materialize (the
     Iceberg-MERGE analog, C5)."""
@@ -198,3 +321,44 @@ def test_merge_graph_edges_incremental(spark, tmp_path):
     want = {(r.subj_canon, r.pred, r.obj_canon): r.support
             for r in materialize_graph(triples_narrow(p), a).collect()}
     assert got == want
+
+
+def test_merge_graph_edges_replay_and_crash_recovery(spark, tmp_path):
+    """(a) Re-submitting a batch_id is a no-op (no double-counted support);
+    (b) a crash between the two commit renames leaves a recoverable state:
+    the next merge rolls back to the pre-merge snapshot and applies
+    cleanly."""
+    import os
+    import shutil
+    from stanza_spark.operators.annotate import triples_narrow
+    from stanza_spark.operators.graph import (merge_graph_edges,
+                                              materialize_graph)
+    out = str(tmp_path / "graph_edges")
+    p = pages(spark, SF_SMOKE, with_html=False)
+    first = triples_narrow(p.filter(F.col("doc_id") % 2 == 0))
+    second = triples_narrow(p.filter(F.col("doc_id") % 2 == 1))
+    a = alias_df(spark)
+
+    merge_graph_edges(spark, out, first, a, batch_id="b0")
+    merge_graph_edges(spark, out, first, a, batch_id="b0")  # replay
+    merged = merge_graph_edges(spark, out, second, a, batch_id="b1")
+    got = {(r.subj_canon, r.pred, r.obj_canon): r.support
+           for r in merged.collect()}
+    want = {(r.subj_canon, r.pred, r.obj_canon): r.support
+            for r in materialize_graph(triples_narrow(p), a).collect()}
+    assert got == want
+
+    # simulate dying right after `existing -> backup` (the window the old
+    # rmtree+rename code lost data in): table dir missing, backup present
+    os.rename(out, out + ".__merge_bak__")
+    merged2 = merge_graph_edges(spark, out, second, a, batch_id="b1")
+    got2 = {(r.subj_canon, r.pred, r.obj_canon): r.support
+            for r in merged2.collect()}
+    assert got2 == want  # rolled back to post-b1 snapshot; b1 replay no-op
+    assert not os.path.exists(out + ".__merge_bak__")
+    # and a stale tmp dir is discarded, not mistaken for the table
+    shutil.copytree(out, out + ".__merge_tmp__")
+    merged3 = merge_graph_edges(spark, out, second, a, batch_id="b1")
+    got3 = {(r.subj_canon, r.pred, r.obj_canon): r.support
+            for r in merged3.collect()}
+    assert got3 == want
