@@ -40,7 +40,12 @@ HEADLINE = [
 ]
 
 
-def run_once(cores: int, queries: dict, names, repeats: int = 2) -> dict:
+def run_once(cores: int, queries: dict, names, repeats: int = 3) -> dict:
+    """Time each query as min over >= 3 INTERLEAVED passes: a transient
+    VM stall (this host's JVM timings are bimodal, BENCH.md) then hits one
+    pass of many queries instead of every sample of one query — a 20x
+    outlier can no longer become a query's reported number.  All samples
+    are kept in the artifact for auditability."""
     from stanza_spark.session import get_spark
     spark = get_spark(f"bench-{cores}", cores=cores,
                       shuffle_partitions=max(cores, 8),
@@ -48,18 +53,16 @@ def run_once(cores: int, queries: dict, names, repeats: int = 2) -> dict:
     # warm python workers / codegen once so the first query isn't charged
     # session cold-start (a long-lived cluster never re-pays it)
     queries[names[0]](spark, SF_DIR).count()
-    timings = {}
-    for name in names:
-        best, n = None, 0
-        # repeat, take min: this VM's JVM timings are bimodal (BENCH.md);
-        # min is the steady-state number a warm cluster would see
-        for _ in range(repeats):
+    samples = {name: [] for name in names}
+    rows = {}
+    for _ in range(repeats):
+        for name in names:
             t0 = time.time()
-            n = queries[name](spark, SF_DIR).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        timings.setdefault("_rows", {})[name] = n
+            rows[name] = queries[name](spark, SF_DIR).count()
+            samples[name].append(round(time.time() - t0, 3))
+    timings = {name: min(s) for name, s in samples.items()}
+    timings["_rows"] = rows
+    timings["_samples"] = samples
     spark.stop()
     return timings
 
@@ -70,6 +73,7 @@ def main():
 
     timings = run_once(CPUS, queries, HEADLINE)
     rows = timings.pop("_rows")
+    samples = timings.pop("_samples")
     total = round(sum(timings.values()), 3)
 
     import duckdb
@@ -84,6 +88,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": rows,
         "docs": n_docs,
@@ -104,6 +109,7 @@ def main():
         for c in (8, 32):
             t = run_once(c, queries, ["kg_triples"])
             t.pop("_rows", None)
+            t.pop("_samples", None)
             scaling[f"local[{c}]"] = t["kg_triples"]
         t8, t32 = scaling["local[8]"], scaling["local[32]"]
         scaling["throughput_ratio_32_vs_8"] = round(t8 / t32, 3)

@@ -8,11 +8,15 @@
   (/root/reference/stanza/models/tokenization/utils.py:580-620; the
   harmonic weights at :616-620).
 
-Both are driver-side set computations over collected keys (evaluation
-corpora are fixture-scale; the *pipelines* they evaluate are distributed).
+``triple_pr`` is fully distributed (null-safe join counts, no driver-side
+set materialization) so the same harness runs at bench scale — only three
+scalar counts ever reach the driver.  ``tokenization_f1`` stays a
+driver-side set computation (fixture-scale goldens only).
 """
 
 from __future__ import annotations
+
+from functools import reduce
 
 from pyspark.sql import DataFrame
 
@@ -30,12 +34,25 @@ def _prf(pred: set, gold: set):
 
 def triple_pr(pred_df: DataFrame, gold_df: DataFrame,
               keys=("url", "sent_id", "subj", "pred", "obj")) -> dict:
-    """Set-level P/R/F1 of predicted triples vs reference triples."""
-    pred = {tuple(r[k] for k in keys) for r in pred_df.select(*keys).collect()}
-    gold = {tuple(r[k] for k in keys) for r in gold_df.select(*keys).collect()}
-    p, r, f = _prf(pred, gold)
+    """Set-level P/R/F1 of predicted triples vs reference triples,
+    computed distributed: dedup both sides on the key tuple, count the
+    null-safe equi-join for true positives.  The join shuffles on the
+    same key tuple both inputs already group by, so at 100 TB this is one
+    exchange per side and three count jobs — no collect."""
+    ks = list(keys)
+    p_df = pred_df.select(*ks).dropDuplicates(ks).alias("p") \
+        .localCheckpoint(eager=True)
+    g_df = gold_df.select(*ks).dropDuplicates(ks).alias("g") \
+        .localCheckpoint(eager=True)
+    n_pred = p_df.count()
+    n_gold = g_df.count()
+    cond = reduce(lambda a, b: a & b,
+                  [p_df[k].eqNullSafe(g_df[k]) for k in ks])
+    tp = p_df.join(g_df, cond, "inner").count()
+    p = tp / n_pred if n_pred else 0.0
+    r = tp / n_gold if n_gold else 0.0
     return {"precision": round(p, 6), "recall": round(r, 6),
-            "f1": round(f, 6), "n_pred": len(pred), "n_gold": len(gold)}
+            "f1": round(_f1(p, r), 6), "n_pred": n_pred, "n_gold": n_gold}
 
 
 def tokenization_f1(pred_words: DataFrame, gold_words: DataFrame) -> dict:

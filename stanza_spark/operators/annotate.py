@@ -394,12 +394,46 @@ WORDS_SCHEMA = (
 )
 
 
-def annotate_page(url: str, lang: str, text: str):
-    """-> list of word-row tuples (WORD_COLUMNS order)."""
-    rows = []
-    for sent_id, (s_start, s_end, toks) in enumerate(split_sentences(text)):
+TOKEN_TOO_LONG_REPLACEMENT = "<UNK>"  # tokenize_processor.py:27
+MAX_TOKEN_LEN_DEFAULT = 1000          # MAX_SEQ_LENGTH_DEFAULT :38
+
+
+def split_pretokenized(text: str):
+    """Pretokenized mode (op 12, tokenize_processor.py:57-80 semantics):
+    one sentence per non-empty line, tokens split on whitespace; char
+    offsets index the REBUILT single-space-joined text exactly like the
+    reference (`idx += len(token) + 1`)."""
+    sents = []
+    idx = 0
+    for line in text.strip().split("\n"):
+        toks = line.strip().split()
+        if not toks:
+            continue
+        cur = []
+        for tok in toks:
+            cur.append((tok, idx, idx + len(tok)))
+            idx += len(tok) + 1
+        sents.append((cur[0][1], cur[-1][2], cur))
+    return sents
+
+
+def annotate_sentences(text: str, pretokenized: bool = False,
+                       max_token_len: int = MAX_TOKEN_LEN_DEFAULT):
+    """Full per-sentence annotation: yields
+    (sent_id, sent_start, sent_end, words) with words = the annotated
+    dicts (token_id/is_mwt/text/start/end/upos/xpos/feats/lemma/head/
+    deprel/ner) — the shared core of annotate_page and the CoNLL-U
+    renderer.
+
+    Tokens longer than ``max_token_len`` are replaced with ``<UNK>``
+    before downstream tagging, the reference's GPU-memory guard
+    (tokenize_processor.py:113-117); offsets keep the original span."""
+    splitter = split_pretokenized if pretokenized else split_sentences
+    for sent_id, (s_start, s_end, toks) in enumerate(splitter(text)):
         words = []
         for t_i, (tok, a, b) in enumerate(toks):
+            if len(tok) > max_token_len:
+                tok = TOKEN_TOO_LONG_REPLACEMENT
             parts = expand_token(tok)
             is_mwt = len(parts) > 1
             for p in parts:
@@ -413,6 +447,15 @@ def annotate_page(url: str, lang: str, text: str):
         for w, tag in zip(words, tags):
             w["ner"] = tag
         parse_sentence(words)
+        yield sent_id, s_start, s_end, words
+
+
+def annotate_page(url: str, lang: str, text: str,
+                  pretokenized: bool = False):
+    """-> list of word-row tuples (WORD_COLUMNS order)."""
+    rows = []
+    for sent_id, s_start, s_end, words in annotate_sentences(
+            text, pretokenized=pretokenized):
         for w_i, w in enumerate(words):
             rows.append((
                 url, lang, sent_id, s_start, s_end,
@@ -423,21 +466,70 @@ def annotate_page(url: str, lang: str, text: str):
     return rows
 
 
-def _annotate_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        out = []
-        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
-            out.extend(annotate_page(url, lang, text))
-        yield pd.DataFrame(out, columns=WORD_COLUMNS)
+def _make_annotate_batches(pretokenized: bool):
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+                out.extend(annotate_page(url, lang, text,
+                                         pretokenized=pretokenized))
+            yield pd.DataFrame(out, columns=WORD_COLUMNS)
+    return _batches
 
 
-def annotate(pages_df, en_only: bool = True):
+def annotate(pages_df, en_only: bool = True, pretokenized: bool = False):
     """pages(url, text, lang) -> flat words table via one narrow
-    mapInPandas pass (zero shuffle)."""
+    mapInPandas pass (zero shuffle).  ``pretokenized=True`` switches to
+    the whitespace/newline tokenization bypass (op 12)."""
     df = pages_df.select("url", "lang", "text")
     if en_only:
         df = df.filter(df.lang == "en")
-    return df.mapInPandas(_annotate_batches, schema=WORDS_SCHEMA)
+    return df.mapInPandas(_make_annotate_batches(pretokenized),
+                          schema=WORDS_SCHEMA)
+
+
+FROM_TOKENS_SCHEMA = (
+    "url string, sent_id int, word_id int, is_mwt boolean, text string, "
+    "upos string, xpos string, feats string, lemma string, head int, "
+    "deprel string, ner string"
+)
+
+
+def annotate_from_tokens(words_df):
+    """Run the non-tokenize processors (pos/lemma/ner/depparse) over
+    already-tokenized sentences — the process_conllu path (op 4,
+    /root/reference/stanza/pipeline/core.py:433-442): ingest a CoNLL-U
+    fixture with sources.conllu.read_conllu, re-annotate its token
+    stream.  Grouped per sentence (applyInPandas) because depparse is a
+    whole-sentence function."""
+    from pyspark.sql import functions as F
+
+    def one_sentence(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("word_id")
+        words = []
+        for t, mwt in zip(pdf["text"], pdf["is_mwt"]):
+            upos, xpos, feats, lemma = tag_word(t)
+            words.append({"text": t, "is_mwt": bool(mwt), "upos": upos,
+                          "xpos": xpos, "feats": feats, "lemma": lemma})
+        tags, _ = tag_ner(words)
+        for w, tag in zip(words, tags):
+            w["ner"] = tag
+        parse_sentence(words)
+        url = pdf["url"].iloc[0]
+        sid = pdf["sent_id"].iloc[0]
+        return pd.DataFrame(
+            [(url, sid, i + 1, w["is_mwt"], w["text"], w["upos"],
+              w["xpos"], w["feats"], w["lemma"], w["head"], w["deprel"],
+              w["ner"]) for i, w in enumerate(words)],
+            columns=["url", "sent_id", "word_id", "is_mwt", "text",
+                     "upos", "xpos", "feats", "lemma", "head", "deprel",
+                     "ner"])
+
+    return (
+        words_df.select("url", "sent_id", "word_id", "is_mwt", "text")
+        .groupBy("url", "sent_id")
+        .applyInPandas(one_sentence, schema=FROM_TOKENS_SCHEMA)
+    )
 
 
 # ---------------------------------------------------------------------------

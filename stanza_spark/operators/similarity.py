@@ -123,6 +123,68 @@ def signlsh_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     )
 
 
+def ivf_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (centroids = the
+    ``n_centroids`` lowest-id corpus vectors — the seeded-k-means stand-in)
+    partitions the corpus into inverted lists; each query probes its
+    ``n_probe`` nearest lists and exact cosine ranks only those
+    candidates.  Same output contract as cosine_topk.
+
+    Scale shape: centroids broadcast (tiny); list assignment is one
+    narrow pass over the corpus (K scores per vector, map-side argmax via
+    a window on the vector's own key); the probe join shuffles on the
+    list id with bounded list sizes — at 100 TB lists are the partition
+    key and candidate volume is ~n_probe/n_centroids of the corpus."""
+    cent = F.broadcast(
+        emb.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")))
+
+    corpus = emb.select(F.col(id_col).alias("neighbor_id"),
+                        F.col(vec_col).alias("nvec"))
+    wa = Window.partitionBy("neighbor_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id"))
+    assign = (
+        corpus.crossJoin(cent)
+        .withColumn("csim", _cosine(F.col("nvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("neighbor_id", "cent_id")
+    )
+
+    q = emb.join(query_ids, emb[id_col] == query_ids["query_id"]) \
+           .select("query_id", F.col(vec_col).alias("qvec"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id"))
+    probes = (
+        q.crossJoin(cent)
+        .withColumn("csim", _cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "cent_id")
+    )
+    cand = (
+        F.broadcast(probes).join(assign, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(corpus, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos_sim", _cosine(F.col("qvec"), F.col("nvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id",
+                F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         n_dims: int = 4) -> DataFrame:

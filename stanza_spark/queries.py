@@ -18,6 +18,7 @@ from .synth import (
     gold_triples_select, gold_mentions_select, gold_pos_lemma_select,
     gold_links_select, gold_links_fuzzy_select, gold_graph_select,
     gold_components_select, gold_mentions_multi_select,
+    gold_constituency_select, gold_enhanced_deps_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -92,6 +93,32 @@ def q_kg_pos_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _words(spark, sf_dir).select(
         "url", "sent_id", "word_id", F.col("text").alias("word"),
         "upos", "lemma")
+
+
+def q_kg_lemma_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dict-then-expensive-model lemma ensemble (op 16, the skip_seq2seq
+    split): broadcast dict join, left_anti misses into the Arrow stage,
+    dict-first union.  Must reproduce the inline annotator's lemmas
+    exactly — same oracle as kg_pos_lemma."""
+    from .operators.lemma_ensemble import ensemble_lemmas, lemma_dict_df
+    w = _words(spark, sf_dir).select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"), "upos")
+    return ensemble_lemmas(w, lemma_dict_df(spark))
+
+
+def q_kg_enhanced_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enhanced dependencies (doc.py:543-596 analog): case-enriched
+    oblique edges (obl:in / obl:to / obl:at) off verb roots."""
+    from .operators.enhanced import enhanced_obl_edges
+    return enhanced_obl_edges(_words(spark, sf_dir, cache=True))
+
+
+def q_kg_constituency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constituency trees (op 18): deterministic dep-derived builder,
+    golden-exact on the reference's three fixture trees
+    (test_english_pipeline.py:92-116)."""
+    from .operators.constituency import constituency_trees
+    return constituency_trees(pages(spark, sf_dir, with_html=False))
 
 
 def q_kg_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +205,9 @@ KG_QUERIES = {
     "kg_sentences": q_kg_sentences,
     "kg_tokens": q_kg_tokens,
     "kg_pos_lemma": q_kg_pos_lemma,
+    "kg_lemma_ensemble": q_kg_lemma_ensemble,
+    "kg_constituency": q_kg_constituency,
+    "kg_enhanced_deps": q_kg_enhanced_deps,
     "kg_sentiment": q_kg_sentiment,
     "kg_mentions": q_kg_mentions,
     "kg_mentions_multi": q_kg_mentions_multi,
@@ -203,6 +233,9 @@ def kg_oracles() -> dict[str, str]:
             "SELECT url, sent_id, token_id, token FROM "
             f"({tokens_select(d)})"),
         "kg_pos_lemma": gold_pos_lemma_select(d),
+        "kg_lemma_ensemble": gold_pos_lemma_select(d),
+        "kg_constituency": gold_constituency_select(d),
+        "kg_enhanced_deps": gold_enhanced_deps_select(d),
         "kg_sentiment": _sentiment_oracle(d),
         "kg_mentions": gold_mentions_select(d),
         "kg_mentions_multi": gold_mentions_multi_select(d),

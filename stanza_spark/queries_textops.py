@@ -74,6 +74,13 @@ def q_ann_signlsh(spark, sf_dir):
     return S.signlsh_topk(emb, qids, ANN_K)
 
 
+def q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qids = emb.filter(F.col("vec_id") < ANN_QUERIES) \
+              .select(F.col("vec_id").alias("query_id"))
+    return S.ivf_topk(emb, qids, ANN_K)
+
+
 def q_embedding_nn(spark, sf_dir):
     """Nearest neighbor for EVERY vector (embedding-cosine near-dup
     primitive: dup candidates = pairs whose NN similarity clears a
@@ -116,6 +123,7 @@ TEXTOPS_QUERIES = {
     "text_simhash": q_simhash,
     "text_ann_topk": q_ann_topk,
     "text_ann_signlsh": q_ann_signlsh,
+    "text_ann_ivf": q_ann_ivf,
     "text_embedding_nn": q_embedding_nn,
     "text_langid": q_langid,
     "text_quality": q_quality,
@@ -159,12 +167,15 @@ def textops_oracles() -> dict[str, str]:
     stop_rows = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in sorted(V.STOPWORDS.items())
         for w in ws)
-    cos = ("list_aggregate(list_transform(generate_series(1, 64), "
-           "i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum') / "
-           "(sqrt(list_aggregate(list_transform(generate_series(1, 64), "
-           "i -> CAST(q.qvec[i] AS DOUBLE) * CAST(q.qvec[i] AS DOUBLE)), 'sum')) * "
-           "sqrt(list_aggregate(list_transform(generate_series(1, 64), "
-           "i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')))")
+    def cos_expr(a: str, b: str) -> str:
+        sq = ("sqrt(list_aggregate(list_transform(generate_series(1, 64), "
+              "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)), 'sum'))")
+        return (
+            "list_aggregate(list_transform(generate_series(1, 64), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+            f" / ({sq.format(v=a)} * {sq.format(v=b)})")
+
+    cos = cos_expr("q.qvec", "e.embedding")
     en_stop = ", ".join(f"'{w}'" for w in sorted(V.STOPWORDS["en"]))
     token_re = V.TOKEN_RE.replace("'", "''")
     return {
@@ -227,6 +238,41 @@ def textops_oracles() -> dict[str, str]:
               SELECT DISTINCT qb.vec_id AS query_id, e.vec_id AS neighbor_id
               FROM b qb JOIN b e ON qb.t = e.t AND qb.bucket = e.bucket
               WHERE qb.vec_id < {ANN_QUERIES} AND e.vec_id != qb.vec_id),
+            s AS (
+              SELECT c.query_id, c.neighbor_id, {cos} AS cos
+              FROM cand c
+              JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) q
+                ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id, round(cos, 6) AS cos_sim
+            FROM s
+            QUALIFY rank <= {ANN_K}
+        """,
+        "text_ann_ivf": f"""
+            WITH cent AS (SELECT vec_id AS cent_id, embedding AS cvec
+                          FROM embeddings WHERE vec_id < 16),
+            assign AS (
+              SELECT neighbor_id, cent_id FROM (
+                SELECT e.vec_id AS neighbor_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_expr('e.embedding', 'c.cvec')} DESC,
+                                  c.cent_id) AS rn
+                FROM embeddings e, cent c) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cent_id FROM (
+                SELECT qe.vec_id AS query_id, c.cent_id,
+                       row_number() OVER (PARTITION BY qe.vec_id
+                         ORDER BY {cos_expr('qe.embedding', 'c.cvec')} DESC,
+                                  c.cent_id) AS rn
+                FROM embeddings qe, cent c
+                WHERE qe.vec_id < {ANN_QUERIES}) WHERE rn <= 4),
+            cand AS (
+              SELECT DISTINCT p.query_id, a.neighbor_id
+              FROM probes p JOIN assign a USING (cent_id)
+              WHERE a.neighbor_id != p.query_id),
             s AS (
               SELECT c.query_id, c.neighbor_id, {cos} AS cos
               FROM cand c

@@ -21,19 +21,26 @@ FIELDS = ["id", "form", "lemma", "upos", "xpos", "feats",
 
 def parse_conllu(text: str):
     """CoNLL-U text -> list of sentence dicts
-    {doc_id, sent_id, text, words: [field dicts]}.  MWT ranges (``n-m``)
-    become the token grouping; empty nodes (``n.m``) are skipped like the
-    reference's gapping filter (conll.py:43-44)."""
+    {doc_id, sentences: [{meta, comments, words, mwts}]}.  MWT ranges
+    (``n-m``) become the token grouping; empty nodes (``n.m``) are skipped
+    like the reference's gapping filter (conll.py:43-44).
+
+    Comments are kept VERBATIM and in order (``comments``) in addition to
+    the parsed ``meta`` map, and MWT lines keep their full field set
+    (``mwts``: range -> cols), so ``render_parsed`` can reproduce the
+    reference's ``{:C}`` output byte-for-byte (the round-trip contract of
+    write_doc2conll, conll.py:204-216)."""
     docs = []
     cur_doc = None
-    sent_words, sent_meta = [], {}
+    sent_words, sent_meta, sent_comments, sent_mwts = [], {}, [], []
 
     def flush_sentence():
-        nonlocal sent_words, sent_meta
+        nonlocal sent_words, sent_meta, sent_comments, sent_mwts
         if sent_words:
             cur_doc["sentences"].append(
-                {"meta": sent_meta, "words": sent_words})
-        sent_words, sent_meta = [], {}
+                {"meta": sent_meta, "comments": sent_comments,
+                 "words": sent_words, "mwts": sent_mwts})
+        sent_words, sent_meta, sent_comments, sent_mwts = [], {}, [], []
 
     def new_doc(doc_id):
         nonlocal cur_doc
@@ -48,6 +55,7 @@ def parse_conllu(text: str):
             flush_sentence()
             continue
         if line.startswith("#"):
+            handled_doc = False
             if "=" in line:
                 k, v = line[1:].split("=", 1)
                 k, v = k.strip(), v.strip()
@@ -57,8 +65,11 @@ def parse_conllu(text: str):
                         new_doc(v)
                     else:
                         cur_doc["doc_id"] = v
+                    handled_doc = True
                 else:
                     sent_meta[k] = v
+            if not handled_doc:
+                sent_comments.append(line)
             continue
         cols = line.split("\t")
         if len(cols) != 10:
@@ -69,6 +80,8 @@ def parse_conllu(text: str):
         if "-" in wid:
             a, b = wid.split("-")
             mwt_range, mwt_form = (int(a), int(b)), cols[1]
+            sent_mwts.append({"first": int(a), "last": int(b),
+                              "cols": cols})
             continue
         w = dict(zip(FIELDS, cols))
         w["id"] = int(wid)
@@ -82,6 +95,29 @@ def parse_conllu(text: str):
         sent_words.append(w)
     flush_sentence()
     return [d for d in docs if d["sentences"]]
+
+
+def render_parsed(docs, newdoc_comments: bool = False) -> str:
+    """Parsed docs (parse_conllu output) -> CoNLL-U text, rebuilt from the
+    structured fields: comments in original order, MWT range lines at
+    their position, 10 tab fields per word.  render_parsed(parse_conllu(x))
+    is byte-identical to x for any reference ``{:C}`` rendering —
+    asserted against the reference golden in tests/test_conllu.py."""
+    out = []
+    for d in docs:
+        if newdoc_comments:
+            out.append(f"# newdoc id = {d['doc_id']}")
+        for s in d["sentences"]:
+            out.extend(s["comments"])
+            mwt_at = {m["first"]: m for m in s["mwts"]}
+            for w in s["words"]:
+                if w["id"] in mwt_at:
+                    out.append("\t".join(mwt_at[w["id"]]["cols"]))
+                out.append("\t".join(
+                    str(w[f]) if f != "id" else str(w["id"])
+                    for f in FIELDS))
+            out.append("")
+    return "\n".join(out).rstrip("\n")
 
 
 def read_conllu(spark: SparkSession, path: str) -> DataFrame:
@@ -100,6 +136,105 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
         "url string, sent_id int, word_id int, is_mwt boolean, text string, "
         "lemma string, upos string, xpos string, feats string, head int, "
         "deprel string, misc string"))
+
+
+def escape_misc_space(space: str) -> str:
+    """The reference's MISC whitespace escaping
+    (/root/reference/stanza/models/common/utils.py:693-713)."""
+    table = {" ": "\\s", "\t": "\\t", "\r": "\\r", "\n": "\\n",
+             "|": "\\p", "\\": "\\\\", "\u00a0": "\\u00A0"}
+    return "".join(table.get(ch, ch) for ch in space)
+
+
+def _space_after_misc(gap: str) -> str | None:
+    """space_after_to_misc (utils.py:762-771): '' -> SpaceAfter=No,
+    single space -> no annotation, anything else escaped SpacesAfter."""
+    if gap == "":
+        return "SpaceAfter=No"
+    if gap == " ":
+        return None
+    return "SpacesAfter=" + escape_misc_space(gap)
+
+
+def render_document(text: str) -> str:
+    """Run the full deterministic pipeline over one document and render
+    the reference's ``{:C}`` format byte-for-byte: ``# text`` /
+    ``# sent_id`` / ``# constituency`` / ``# sentiment`` comments, the 10
+    CoNLL-U fields, and SpaceAfter/SpacesAfter + start/end/ner misc —
+    asserted equal to the reference golden EN_DOC_CONLLU_GOLD
+    (test_english_pipeline.py:89-122) in tests/test_conllu.py."""
+    import re as _re
+
+    from .. import vocab as V
+    from ..operators.annotate import annotate_sentences
+    from ..operators.constituency import sentence_tree
+
+    sents = list(annotate_sentences(text))
+    # token-level inter-token whitespace across the WHOLE document,
+    # including the trailing run (doc.py:92-110 mark_whitespace)
+    tok_stream = []  # (sent_idx, token_id, start, end)
+    for si, (_sid, _ss, _se, words) in enumerate(sents):
+        seen = set()
+        for w in words:
+            if w["token_id"] not in seen:
+                seen.add(w["token_id"])
+                tok_stream.append((si, w["token_id"], w["start"], w["end"]))
+    gaps = {}
+    for cur, nxt in zip(tok_stream, tok_stream[1:]):
+        gaps[(cur[0], cur[1])] = text[cur[3]:nxt[2]]
+    if tok_stream:
+        last = tok_stream[-1]
+        gaps[(last[0], last[1])] = text[last[3]:]
+
+    pos_set = set(V.SENTIMENT_POS)
+    neg_set = set(V.SENTIMENT_NEG)
+    blocks = []
+    for si, (sent_id, ss, se, words) in enumerate(sents):
+        stext = text[ss:se]
+        toks = [t for t in _re.split("[^a-z]+", stext.lower()) if t]
+        pos = sum(t in pos_set for t in toks)
+        neg = sum(t in neg_set for t in toks)
+        sentiment = 2 if pos > neg else (0 if neg > pos else 1)
+        lines = [
+            f"# text = {stext}",
+            f"# sent_id = {sent_id}",
+            f"# constituency = {sentence_tree(words)}",
+            f"# sentiment = {sentiment}",
+        ]
+        last_word_of_token = {}
+        for wi, w in enumerate(words):
+            last_word_of_token[w["token_id"]] = wi
+        for wi, w in enumerate(words):
+            misc = []
+            if last_word_of_token[w["token_id"]] == wi:
+                sp = _space_after_misc(gaps.get((si, w["token_id"]), " "))
+                if sp:
+                    misc.append(sp)
+            misc += [f"start_char={w['start']}", f"end_char={w['end']}",
+                     f"ner={w['ner']}"]
+            lines.append("\t".join([
+                str(wi + 1), w["text"], w["lemma"], w["upos"], w["xpos"],
+                w["feats"], str(w["head"]), w["deprel"], "_",
+                "|".join(misc)]))
+        blocks.append("\n".join(lines))
+    return "\n\n".join(blocks)
+
+
+def render_conllu_docs(pages_df: DataFrame) -> DataFrame:
+    """pages -> (url, conllu): one reference-format ``{:C}`` rendering per
+    document (narrow Arrow pass; ``# newdoc id`` marks the document like
+    the multi-doc writer, conll.py:153-192)."""
+    import pandas as pd
+    from typing import Iterator
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            out = [(url, f"# newdoc id = {url}\n" + render_document(t))
+                   for url, t in zip(pdf["url"], pdf["text"])]
+            yield pd.DataFrame(out, columns=["url", "conllu"])
+
+    return pages_df.select("url", "text").mapInPandas(
+        batches, schema="url string, conllu string")
 
 
 def render_conllu(words: DataFrame, include_meta: bool = True) -> DataFrame:

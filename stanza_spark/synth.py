@@ -288,6 +288,133 @@ def gold_mentions_select(d: Dialect) -> str:
     return " UNION ALL ".join(branches)
 
 
+# ---------------------------------------------------------------------------
+# Constituency oracle: for each template, run the *builder itself* on a
+# sentinel instantiation (slot fillers replaced by unique single tokens
+# that tag identically), then splice the slot SQL back into the resulting
+# tree pattern.  PROPN slots re-expand "(NNP X)" into one leaf per name
+# token via replace(name, ' ', ') (NNP ') — all name tokens are flat
+# siblings inside one NP, so the expansion is exact for any filler.
+# ---------------------------------------------------------------------------
+
+_TREE_SENTINELS = {"P": "Zqp", "PC": "Zqc", "O": "Zqo", "O2": "Zqt",
+                   "G": "Zqg", "Y": "1111", "H": "787878"}
+_TREE_MARKERS = {
+    "(NNP Zqp)": ("P", True), "(NNP Zqc)": ("PC", True),
+    "(NNP Zqo)": ("O", True), "(NNP Zqt)": ("O2", True),
+    "(NNP Zqg)": ("G", True), "1111": ("Y", False), "787878": ("H", False),
+}
+
+
+def _tree_pattern(parts) -> str:
+    from .operators.annotate import annotate_sentences
+    from .operators.constituency import sentence_tree
+    text = "".join(_TREE_SENTINELS.get(p, p) for p in parts)
+    sents = list(annotate_sentences(text))
+    assert len(sents) == 1, (parts, text)
+    return sentence_tree(sents[0][3])
+
+
+def _tree_expr(d: Dialect, parts) -> str:
+    import re as _re
+    pat = _tree_pattern(parts)
+    marker_re = _re.compile(
+        "|".join(_re.escape(m) for m in _TREE_MARKERS))
+    frags = []
+    pos = 0
+    for m in marker_re.finditer(pat):
+        if m.start() > pos:
+            frags.append(d.str_lit(pat[pos:m.start()]))
+        slot, is_name = _TREE_MARKERS[m.group(0)]
+        e = slot_expr(d, slot, "sent_id")
+        if is_name:
+            frags.append(
+                f"concat('(NNP ', replace({e}, ' ', ') (NNP '), ')')")
+        else:
+            frags.append(e)
+        pos = m.end()
+    if pos < len(pat):
+        frags.append(d.str_lit(pat[pos:]))
+    return frags[0] if len(frags) == 1 else \
+        "concat(" + ", ".join(frags) + ")"
+
+
+def gold_constituency_select(d: Dialect) -> str:
+    inner = sentences_select(d)
+    whens = "".join(
+        f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {_tree_expr(d, parts)}"
+        for t, (parts, _) in enumerate(V.TEMPLATES))
+    return (f"SELECT url, sent_id, CASE{whens} END AS tree "
+            f"FROM ({inner}) WHERE lang = 'en'")
+
+
+# ---------------------------------------------------------------------------
+# Enhanced-dependency oracle: obl:<case> edges derived per template by
+# running the parser itself on the sentinel instantiation (same trick as
+# the constituency oracle), then splicing slot SQL for the oblique head.
+# ---------------------------------------------------------------------------
+
+_SENT_TO_SLOT = {v: k for k, v in _TREE_SENTINELS.items()}
+
+
+def _obl_edges_pattern(parts):
+    """[(pred_lemma, obl_head_sentinel_or_literal, rel)] for one
+    template."""
+    from .operators.annotate import annotate_sentences
+    text = "".join(_TREE_SENTINELS.get(p, p) for p in parts)
+    sents = list(annotate_sentences(text))
+    words = sents[0][3]
+    edges = []
+    for i, w in enumerate(words):
+        if w["deprel"] != "obl":
+            continue
+        case = next((x for x in words
+                     if x["head"] == i + 1 and x["deprel"] == "case"), None)
+        verb = words[w["head"] - 1]
+        if case is not None and verb["upos"] == "VERB":
+            edges.append((verb["lemma"], w["text"],
+                          "obl:" + case["lemma"]))
+    return edges
+
+
+def _first_word(d: Dialect, expr: str) -> str:
+    if d.name == "spark":
+        return f"element_at(split({expr}, ' '), 1)"
+    return f"(string_split({expr}, ' '))[1]"
+
+
+def gold_enhanced_deps_select(d: Dialect) -> str:
+    """(url, sent_id, pred, obl_head, rel) for lang='en'."""
+    inner = sentences_select(d)
+    tid = _ix("tid", "sent_id")
+    per_template = {
+        t: _obl_edges_pattern(parts)
+        for t, (parts, _) in enumerate(V.TEMPLATES)
+    }
+    max_edges = max(len(e) for e in per_template.values())
+    branches = []
+    for k in range(max_edges):
+        wp, wo, wr = [], [], []
+        for t, edges in per_template.items():
+            if k < len(edges):
+                pred, head_sent, rel = edges[k]
+                slot = _SENT_TO_SLOT.get(head_sent)
+                if slot is not None:
+                    head_expr = _first_word(d, slot_expr(d, slot, "sent_id"))
+                else:
+                    head_expr = d.str_lit(head_sent)
+                wp.append(f" WHEN {tid} = {t} THEN {d.str_lit(pred)}")
+                wo.append(f" WHEN {tid} = {t} THEN {head_expr}")
+                wr.append(f" WHEN {tid} = {t} THEN {d.str_lit(rel)}")
+        p = "CASE" + "".join(wp) + " ELSE NULL END"
+        o = "CASE" + "".join(wo) + " ELSE NULL END"
+        r = "CASE" + "".join(wr) + " ELSE NULL END"
+        branches.append(
+            f"SELECT url, sent_id, {p} AS pred, {o} AS obl_head, {r} AS rel "
+            f"FROM ({inner}) WHERE lang = 'en' AND ({p}) IS NOT NULL")
+    return " UNION ALL ".join(branches)
+
+
 def alias_values_cte(d: Dialect) -> str:
     """Inline VALUES table for the entity-linking alias dictionary."""
     rows = ", ".join(

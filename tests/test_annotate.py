@@ -250,6 +250,41 @@ def test_match_tokens_with_text_offsets_golden():
         (13, 18), (19, 22), (24, 28), (28, 29)]
 
 
+def test_pretokenized_mode_reference_offsets():
+    # tokenize_processor.py:57-80: line = sentence, whitespace tokens,
+    # offsets index the rebuilt single-space-joined text
+    from stanza_spark.operators.annotate import split_pretokenized
+    sents = split_pretokenized("This is a test\nunban mox opal")
+    assert len(sents) == 2
+    assert [(t, a, b) for t, a, b in sents[0][2]] == [
+        ("This", 0, 4), ("is", 5, 7), ("a", 8, 9), ("test", 10, 14)]
+    assert [(t, a, b) for t, a, b in sents[1][2]] == [
+        ("unban", 15, 20), ("mox", 21, 24), ("opal", 25, 29)]
+
+
+def test_pretokenized_no_mask_no_ssplit_inside_line():
+    # pretokenized bypass: no sentence split on '.', no URL masking —
+    # tokens are exactly the whitespace fields
+    from stanza_spark.operators.annotate import split_pretokenized
+    sents = split_pretokenized("a . b www.x.org c")
+    assert len(sents) == 1
+    assert [t for t, _, _ in sents[0][2]] == ["a", ".", "b",
+                                              "www.x.org", "c"]
+
+
+def test_token_too_long_replaced_with_unk():
+    # tokenize_processor.py:113-117 guard, offsets keep the original span
+    from stanza_spark.operators.annotate import annotate_sentences
+    long_tok = "x" * 40
+    sents = list(annotate_sentences(f"short {long_tok} end.",
+                                    max_token_len=30))
+    words = sents[0][3]
+    texts = [w["text"] for w in words]
+    assert texts == ["short", "<UNK>", "end", "."]
+    unk = words[1]
+    assert (unk["start"], unk["end"]) == (6, 6 + 40)
+
+
 def test_annotator_offsets_align_with_pretokenized_matcher():
     from stanza_spark.operators.annotate import align_pretokenized
     text = "Marie Curie founded Initech in Paris. See https://x.org/a.html now."

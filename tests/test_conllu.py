@@ -40,6 +40,120 @@ def test_parse_round_trip(spark):
         ("born", "bear", "VERB", "0", "root")
 
 
+# the reference's full golden {:C} rendering, transcribed verbatim from
+# /root/reference/stanza/tests/pipeline/test_english_pipeline.py:89-122
+# (comments incl. constituency/sentiment, SpaceAfter/SpacesAfter misc)
+EN_DOC_CONLLU_GOLD = "\n\n".join([
+    """# text = Barack Obama was born in Hawaii.
+# sent_id = 0
+# constituency = (ROOT (S (NP (NNP Barack) (NNP Obama)) (VP (VBD was) (VP (VBN born) (PP (IN in) (NP (NNP Hawaii))))) (. .)))
+# sentiment = 1
+1\tBarack\tBarack\tPROPN\tNNP\tNumber=Sing\t4\tnsubj:pass\t_\tstart_char=0|end_char=6|ner=B-PERSON
+2\tObama\tObama\tPROPN\tNNP\tNumber=Sing\t1\tflat\t_\tstart_char=7|end_char=12|ner=E-PERSON
+3\twas\tbe\tAUX\tVBD\tMood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin\t4\taux:pass\t_\tstart_char=13|end_char=16|ner=O
+4\tborn\tbear\tVERB\tVBN\tTense=Past|VerbForm=Part|Voice=Pass\t0\troot\t_\tstart_char=17|end_char=21|ner=O
+5\tin\tin\tADP\tIN\t_\t6\tcase\t_\tstart_char=22|end_char=24|ner=O
+6\tHawaii\tHawaii\tPROPN\tNNP\tNumber=Sing\t4\tobl\t_\tSpaceAfter=No|start_char=25|end_char=31|ner=S-GPE
+7\t.\t.\tPUNCT\t.\t_\t4\tpunct\t_\tSpacesAfter=\\s\\s|start_char=31|end_char=32|ner=O""",
+    """# text = He was elected president in 2008.
+# sent_id = 1
+# constituency = (ROOT (S (NP (PRP He)) (VP (VBD was) (VP (VBN elected) (S (NP (NN president))) (PP (IN in) (NP (CD 2008))))) (. .)))
+# sentiment = 1
+1\tHe\the\tPRON\tPRP\tCase=Nom|Gender=Masc|Number=Sing|Person=3|PronType=Prs\t3\tnsubj:pass\t_\tstart_char=34|end_char=36|ner=O
+2\twas\tbe\tAUX\tVBD\tMood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin\t3\taux:pass\t_\tstart_char=37|end_char=40|ner=O
+3\telected\telect\tVERB\tVBN\tTense=Past|VerbForm=Part|Voice=Pass\t0\troot\t_\tstart_char=41|end_char=48|ner=O
+4\tpresident\tpresident\tNOUN\tNN\tNumber=Sing\t3\txcomp\t_\tstart_char=49|end_char=58|ner=O
+5\tin\tin\tADP\tIN\t_\t6\tcase\t_\tstart_char=59|end_char=61|ner=O
+6\t2008\t2008\tNUM\tCD\tNumForm=Digit|NumType=Card\t3\tobl\t_\tSpaceAfter=No|start_char=62|end_char=66|ner=S-DATE
+7\t.\t.\tPUNCT\t.\t_\t3\tpunct\t_\tSpacesAfter=\\s\\s|start_char=66|end_char=67|ner=O""",
+    """# text = Obama attended Harvard.
+# sent_id = 2
+# constituency = (ROOT (S (NP (NNP Obama)) (VP (VBD attended) (NP (NNP Harvard))) (. .)))
+# sentiment = 1
+1\tObama\tObama\tPROPN\tNNP\tNumber=Sing\t2\tnsubj\t_\tstart_char=69|end_char=74|ner=S-PERSON
+2\tattended\tattend\tVERB\tVBD\tMood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin\t0\troot\t_\tstart_char=75|end_char=83|ner=O
+3\tHarvard\tHarvard\tPROPN\tNNP\tNumber=Sing\t2\tobj\t_\tSpaceAfter=No|start_char=84|end_char=91|ner=S-ORG
+4\t.\t.\tPUNCT\t.\t_\t2\tpunct\t_\tSpaceAfter=No|start_char=91|end_char=92|ner=O""",
+])
+
+
+def test_pipeline_render_equals_reference_golden_bytes():
+    """The strongest fidelity statement in the repo: running the full
+    deterministic pipeline (tokenize/mwt/pos/lemma/depparse/ner/
+    constituency/sentiment) over the reference's EN_DOC and rendering
+    {:C} reproduces the reference's EN_DOC_CONLLU_GOLD BYTE-FOR-BYTE —
+    comments, constituency trees, sentiment, SpaceAfter/SpacesAfter
+    escapes, misc field order, everything."""
+    from stanza_spark.sources.conllu import render_document
+    assert render_document(EN_DOC) == EN_DOC_CONLLU_GOLD
+
+
+def test_constituency_golden_trees():
+    from stanza_spark.operators.annotate import annotate_sentences
+    from stanza_spark.operators.constituency import sentence_tree
+    trees = [sentence_tree(w) for _, _, _, w in annotate_sentences(EN_DOC)]
+    assert trees == [
+        "(ROOT (S (NP (NNP Barack) (NNP Obama)) (VP (VBD was) (VP (VBN born)"
+        " (PP (IN in) (NP (NNP Hawaii))))) (. .)))",
+        "(ROOT (S (NP (PRP He)) (VP (VBD was) (VP (VBN elected) (S (NP (NN"
+        " president))) (PP (IN in) (NP (CD 2008))))) (. .)))",
+        "(ROOT (S (NP (NNP Obama)) (VP (VBD attended) (NP (NNP Harvard)))"
+        " (. .)))",
+    ]
+
+
+def test_render_docs_spark_op(spark):
+    from stanza_spark.sources.conllu import render_conllu_docs
+    df = spark.createDataFrame([("u", "en", EN_DOC)],
+                               "url string, lang string, text string")
+    rows = render_conllu_docs(df).collect()
+    assert len(rows) == 1
+    assert rows[0].conllu == "# newdoc id = u\n" + EN_DOC_CONLLU_GOLD
+
+
+def test_render_parse_golden_byte_roundtrip():
+    """render_parsed(parse_conllu(x)) == x byte-for-byte on the
+    reference's full golden {:C} rendering — comments (text/sent_id/
+    constituency/sentiment) preserved verbatim and in order."""
+    from stanza_spark.sources.conllu import render_parsed
+    docs = parse_conllu(EN_DOC_CONLLU_GOLD)
+    assert render_parsed(docs) == EN_DOC_CONLLU_GOLD
+
+
+def test_render_parse_mwt_byte_roundtrip():
+    from stanza_spark.sources.conllu import render_parsed
+    text = """# text = I can't go.
+# sent_id = 0
+1\tI\tI\tPRON\tPRP\t_\t3\tnsubj\t_\t_
+2-3\tcan't\t_\t_\t_\t_\t_\t_\t_\tSpaceAfter=No
+2\tca\tcan\tAUX\tMD\t_\t3\taux\t_\t_
+3\tn't\tnot\tPART\tRB\t_\t3\tadvmod\t_\t_
+4\tgo\tgo\tVERB\tVB\t_\t0\troot\t_\t_
+5\t.\t.\tPUNCT\t.\t_\t4\tpunct\t_\t_"""
+    assert render_parsed(parse_conllu(text)) == text
+
+
+def test_process_conllu_reannotates_ingested_tokens(spark, tmp_path):
+    """op 4 full path (core.py:433-442): parse CoNLL-U, run the
+    non-tokenize processors over the ingested token stream — annotations
+    must equal the direct-pipeline output on the same document."""
+    from stanza_spark.operators.annotate import annotate_from_tokens
+    from stanza_spark.sources.conllu import read_conllu
+
+    fx = tmp_path / "golden.conllu"
+    fx.write_text("# doc_id = u\n" + EN_DOC_CONLLU_GOLD + "\n")
+    ingested = read_conllu(spark, str(fx))
+    got = {(r.sent_id, r.word_id):
+           (r.text, r.upos, r.lemma, r.head, r.deprel, r.ner)
+           for r in annotate_from_tokens(ingested).collect()}
+    df = spark.createDataFrame([("u", "en", EN_DOC)],
+                               "url string, lang string, text string")
+    want = {(r.sent_id, r.word_id):
+            (r.text, r.upos, r.lemma, r.head, r.deprel, r.ner)
+            for r in annotate(df).collect()}
+    assert got == want
+
+
 def test_parse_mwt_and_comments():
     text = """# doc_id = d1
 # text = I can't go.

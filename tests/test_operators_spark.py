@@ -289,6 +289,39 @@ def test_shingles_short_text_edge(spark):
     assert got == [(4, "w x y"), (4, "x y z")]
 
 
+def test_enhanced_deps_column(spark):
+    """Word.deps analog: obl words get case-suffixed enhanced relations
+    (obl:in), everything else keeps head:deprel."""
+    from stanza_spark.operators.enhanced import with_enhanced_deps
+    doc = "Barack Obama was born in Hawaii."
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    deps = {r.text: r.deps for r in with_enhanced_deps(annotate(df)).collect()}
+    assert deps["Hawaii"] == "4:obl:in"
+    assert deps["Barack"] == "4:nsubj:pass"
+    assert deps["born"] == "0:root"
+    assert deps["in"] == "6:case"
+
+
+def test_mwt_relational_expansion_matches_annotator(spark):
+    """The broadcast-join + posexplode MWT dict path must equal the Arrow
+    annotator's inline expansion (tuple ids, casing rule, miss
+    fall-through)."""
+    from stanza_spark.operators.lemma_ensemble import (
+        expand_mwt_relational, mwt_dict_df)
+    doc = "She can't go. Don't stop. It works."
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    w = annotate(df)
+    want = [(r.sent_id, r.token_id, r.text, r.is_mwt)
+            for r in w.orderBy("sent_id", "word_id").collect()]
+    toks = tokens_sql(sentences_from_pages(df))
+    got_rows = expand_mwt_relational(toks, mwt_dict_df(spark)) \
+        .orderBy("sent_id", "token_id", "word_pos").collect()
+    got = [(r.sent_id, r.token_id, r.word, r.is_mwt) for r in got_rows]
+    assert got == want
+
+
 def test_signlsh_recall_vs_brute_force(spark):
     """Bucketed sign-LSH ANN must recover >= 80% of the exact top-k pairs
     at the gate configuration (20 queries, k=5, 6 sign bits)."""

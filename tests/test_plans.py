@@ -77,6 +77,39 @@ def test_salted_support_matches_plain_aggregate(spark):
     assert max(plain.values()) > 3  # the hot key really is hot
 
 
+def test_lemma_ensemble_dict_hits_never_reach_python(spark, tmp_path):
+    """The skip_seq2seq split (lemma/trainer.py:236-269 shape): the
+    expensive Arrow stage sits ONLY above the left_anti miss subset —
+    the dict-hit branch is pure JVM (broadcast join, no Python node) and
+    the whole plan contains exactly one Python stage."""
+    from stanza_spark.operators.annotate import annotate
+    from stanza_spark.operators.lemma_ensemble import (
+        ensemble_lemmas, lemma_dict_df)
+    from stanza_spark.sources.pages import pages
+    wdir = str(tmp_path / "words")
+    annotate(pages(spark, SF_SMOKE, with_html=False)).select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"), "upos",
+        "lemma").write.parquet(wdir)
+    words = spark.read.parquet(wdir)
+    out = ensemble_lemmas(words.drop("lemma"), lemma_dict_df(spark))
+    p = _plan(out)
+    body = p.split("== Physical Plan ==")[1]
+    tree = body.strip().split("\n\n")[0]  # node tree, before detail blocks
+    assert tree.count("MapInPandas") == 1          # one expensive stage
+    assert "BroadcastHashJoin" in body             # dict side broadcast
+    assert "LeftAnti" in body                      # miss subset carve-out
+    assert "SortMergeJoin" not in body
+    # and the ensemble reproduces the inline annotator's lemmas exactly
+    ens = out.select("url", "sent_id", "word_id",
+                     F.col("lemma").alias("ens_lemma"))
+    ref = spark.read.parquet(wdir).select("url", "sent_id", "word_id",
+                                          "lemma")
+    diff = (
+        ens.join(ref, ["url", "sent_id", "word_id"])
+        .filter(F.col("ens_lemma") != F.col("lemma")).count())
+    assert diff == 0
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Scale pattern: pre-bucketed tables co-locate their join — neither
     side shuffles (SURVEY §0 'repartition/bucketing for co-located

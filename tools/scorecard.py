@@ -53,7 +53,13 @@ def main():
         os.path.abspath(__file__))), "BENCH_SCALING.json")
     if os.path.exists(sp):
         with open(sp) as f:
-            scaling = json.load(f)["aggregate"]
+            data = json.load(f)
+        # round-2 format: top-level pairs + headline efficiency fields
+        scaling = data.get("aggregate") or {
+            "pairs": data.get("pairs"),
+            "throughput_ratio_4n_vs_n": data.get("throughput_ratio_4n_vs_n"),
+            "efficiency_n_to_4n": data.get("efficiency_n_to_4n"),
+        }
 
     print(json.dumps({
         "sf_dir": sf_dir,
