@@ -72,6 +72,39 @@ def coref_chains(mentions_linked: DataFrame) -> DataFrame:
     )
 
 
+RESOLVE_SCHEMA = ("url string, sent_id int, pronoun string, "
+                  "antecedent_entity string")
+
+
+def _resolve_pronouns_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One document's coref input -> one row per pronoun with the entity
+    of the most recent preceding PERSON mention (NULL if none)."""
+    pdf = pdf.sort_values(["sent_id", "first_word_id"])
+    last_person = None
+    rows = []
+    for r in pdf.itertuples():
+        if r.mention.lower() in PRONOUNS:
+            rows.append((r.url, int(r.sent_id), r.mention, last_person))
+        elif r.type == "PERSON" and r.entity_id:
+            last_person = r.entity_id
+    return pd.DataFrame(rows, columns=["url", "sent_id", "pronoun",
+                                       "antecedent_entity"])
+
+
+def resolve_pronouns(mentions_linked: DataFrame) -> DataFrame:
+    """coref_input rows -> (url, sent_id, pronoun, antecedent_entity):
+    the document-local recency resolution, gated against the grammar
+    oracle (kg_coref)."""
+    cols = ["url", "sent_id", "first_word_id", "mention", "type",
+            "entity_id"]
+    return (
+        mentions_linked.select(*cols)
+        .groupBy("url")
+        .applyInPandas(lambda pdf: _resolve_pronouns_doc(pdf),
+                       schema=RESOLVE_SCHEMA)
+    )
+
+
 def coref_input(words: DataFrame, linked_mentions: DataFrame) -> DataFrame:
     """Union the typed mentions with pronoun tokens (He/She/It/They) from
     the words table — pronouns are not NER mentions but are coref

@@ -18,7 +18,7 @@ from .synth import (
     gold_triples_select, gold_mentions_select, gold_pos_lemma_select,
     gold_links_select, gold_links_fuzzy_select, gold_graph_select,
     gold_components_select, gold_mentions_multi_select,
-    gold_constituency_select, gold_enhanced_deps_select,
+    gold_constituency_select, gold_enhanced_deps_select, gold_coref_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -104,6 +104,21 @@ def q_kg_lemma_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _words(spark, sf_dir).select(
         "url", "sent_id", "word_id", F.col("text").alias("word"), "upos")
     return ensemble_lemmas(w, lemma_dict_df(spark))
+
+
+def q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-local pronoun resolution (op 20): every pronoun resolved
+    to the most recent preceding PERSON mention's entity (the recency
+    rule; representative-selection analog of coref_chain.py:66-69)."""
+    from .operators.coref import coref_input, resolve_pronouns
+    w = _words(spark, sf_dir, cache=True)
+    # coref stream needs first_word_id (link_mentions drops it): mentions
+    # + broadcast entity-id lookup
+    m = decode_mentions(w).withColumn("alias_l", F.lower("mention")).join(
+        F.broadcast(alias_df(spark).select(F.lower("alias").alias("alias_l"),
+                                           "entity_id")),
+        "alias_l", "left").drop("alias_l")
+    return resolve_pronouns(coref_input(w, m))
 
 
 def q_kg_enhanced_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -218,6 +233,7 @@ KG_QUERIES = {
     "kg_graph_edges": q_kg_graph_edges,
     "kg_words_routed": q_kg_words_routed,
     "kg_components": q_kg_components,
+    "kg_coref": q_kg_coref,
 }
 
 
@@ -248,4 +264,5 @@ def kg_oracles() -> dict[str, str]:
             "SELECT url, lang, sent_id, token_id AS word_id, "
             f"token AS word FROM ({tokens_select(d)})"),
         "kg_components": gold_components_select(d),
+        "kg_coref": gold_coref_select(d),
     }

@@ -217,7 +217,9 @@ def gold_triples_select(d: Dialect) -> str:
         return "CASE" + "".join(whens) + " ELSE NULL END"
 
     def subj(tr):
-        return slot_expr(d, tr[0], "sent_id")
+        s = tr[0]
+        return slot_expr(d, s, "sent_id") \
+            if s in ("P", "PC", "O", "O2", "G", "Y") else d.str_lit(s)
 
     def pred(tr):
         return d.str_lit(tr[1])
@@ -263,6 +265,7 @@ MENTION_SLOTS = {
     14: [],
     15: [],
     16: [("PC", "MISC"), ("O", "ORG"), ("Y", "DATE")],
+    17: [("G", "GPE"), ("Y", "DATE")],
 }
 
 
@@ -573,6 +576,40 @@ def gold_links_fuzzy_select(d: Dialect) -> str:
         f"'fuzzy' AS method "
         f"FROM ({inner}) WHERE lang = 'en' AND {tid} = {PC_TID}"
     )
+
+
+PRON_TID = next(i for i, (parts, _) in enumerate(V.TEMPLATES)
+                if parts and isinstance(parts[0], str)
+                and parts[0].startswith("He "))
+PERSON_TIDS = sorted(t for t, slots in MENTION_SLOTS.items()
+                     if any(ty == "PERSON" for _, ty in slots))
+
+
+def gold_coref_select(d: Dialect) -> str:
+    """(url, sent_id, pronoun, antecedent_entity): every pronoun sentence
+    resolved to the entity of the most recent preceding PERSON mention in
+    the same document (the recency rule the coref operator implements);
+    NULL when no person precedes.  DuckDB dialect only (the Spark side is
+    the real per-document operator)."""
+    assert d.name == "duckdb"
+    inner = sentences_select(d)
+    tid = _ix("tid", "sent_id")
+    pix = _ix("p", "sent_id")
+    tids = ", ".join(str(t) for t in PERSON_TIDS)
+    base = (
+        f"SELECT doc_id, url, sent_id, "
+        f"CASE WHEN {tid} IN ({tids}) "
+        f"THEN concat('P', {d.cast_str(pix)}) END AS person_ent, "
+        f"CASE WHEN {tid} = {PRON_TID} THEN 1 ELSE 0 END AS is_pron "
+        f"FROM ({inner}) WHERE lang = 'en'")
+    resolved = (
+        "SELECT url, sent_id, is_pron, "
+        "last_value(person_ent IGNORE NULLS) OVER ("
+        "PARTITION BY doc_id ORDER BY sent_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        f"AS antecedent_entity FROM ({base})")
+    return (f"SELECT url, sent_id, 'He' AS pronoun, antecedent_entity "
+            f"FROM ({resolved}) WHERE is_pron = 1")
 
 
 def gold_graph_select(d: Dialect) -> str:

@@ -137,6 +137,11 @@ TEMPLATES = [
     # the lemma/trainer.py:236-269 shape).
     (["PC", " joined ", "O", " in ", "Y", "."],
      ("PC", "join", "O", "MISC", "ORG")),
+    # 17: pronoun subject — exercises coref (op 20): "He" resolves to the
+    # most recent preceding PERSON mention in the document (the recency
+    # rule, coref_chain.py analog); the triple keeps the surface pronoun.
+    (["He visited ", "G", " in ", "Y", "."],
+     ("He", "visit", "G", None, "GPE")),
 ]
 
 # Deterministic surface corruption for slot PC (fuzzy-linking exercise):

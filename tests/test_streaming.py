@@ -42,6 +42,27 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
     assert got == want
 
 
+def test_batch_replay_does_not_duplicate(spark, tmp_path):
+    """Exactly-once sink: re-processing a micro-batch (simulated by
+    deleting the checkpoint so the same files replay as batch 0 again)
+    overwrites its batch_id directory instead of appending duplicates."""
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    p = pages(spark, SF_SMOKE, with_html=False).filter(F.col("doc_id") < 40)
+    p.write.mode("overwrite").parquet(src)
+
+    q = stream_pages_to_triples(spark, src, out, chk)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+
+    shutil.rmtree(chk)  # lose the checkpoint -> the sink must still dedup
+    q = stream_pages_to_triples(spark, src, out, chk + "2")
+    q.awaitTermination(300)
+    n2 = spark.read.parquet(out).count()
+    assert n1 > 0 and n2 == n1
+
+
 def test_windowed_counts_with_watermark(spark, tmp_path):
     src = str(tmp_path / "ev")
     shutil.copytree(f"{SF_SMOKE}", src, ignore=shutil.ignore_patterns(
