@@ -31,11 +31,14 @@ HEADLINE = [
     "kg_tokens",
     "kg_triples",
     "kg_graph_edges",
+    "kg_links_fuzzy",
+    "kg_constituency",
     "rel_pricing_summary",
     "rel_top_orders",
     "rel_sessionize",
     "text_dedup_lsh_pairs",
     "text_ann_topk",
+    "text_ann_ivf",
     "text_langid",
 ]
 

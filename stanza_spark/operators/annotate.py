@@ -417,8 +417,40 @@ def split_pretokenized(text: str):
     return sents
 
 
+# --- processor-variant registry (op 22) -----------------------------------
+# The reference's register_processor_variant plugin point
+# (/root/reference/stanza/pipeline/processor.py:160-180,286-293) lets a
+# drop-in tokenizer replace the model.  Here a variant is any callable
+# text -> [(sent_start, sent_end, [(tok, start, end), ...])]; the rest of
+# the pipeline (MWT/POS/lemma/NER/depparse) is agnostic to which one ran.
+def split_no_ssplit(text: str):
+    """no_ssplit mode (op 12, tokenize_processor.py:57-80 config): tokenize
+    normally but never split sentences — each paragraph is exactly one
+    sentence (the reference applies the same rule per input chunk)."""
+    sents = []
+    for pstart, pend in split_paragraphs(text):
+        toks = tokenize_span(text, pstart, pend)
+        if toks:
+            sents.append((toks[0][1], toks[-1][2], toks))
+    return sents
+
+
+TOKENIZER_VARIANTS = {
+    "rule": split_sentences,
+    "pretokenized": split_pretokenized,
+    "no_ssplit": split_no_ssplit,
+}
+
+
+def register_tokenizer_variant(name: str, splitter) -> None:
+    """Register a drop-in sentence-splitter/tokenizer under ``name`` —
+    selectable via annotate(..., variant=name)."""
+    TOKENIZER_VARIANTS[name] = splitter
+
+
 def annotate_sentences(text: str, pretokenized: bool = False,
-                       max_token_len: int = MAX_TOKEN_LEN_DEFAULT):
+                       max_token_len: int = MAX_TOKEN_LEN_DEFAULT,
+                       variant: str | None = None):
     """Full per-sentence annotation: yields
     (sent_id, sent_start, sent_end, words) with words = the annotated
     dicts (token_id/is_mwt/text/start/end/upos/xpos/feats/lemma/head/
@@ -428,7 +460,10 @@ def annotate_sentences(text: str, pretokenized: bool = False,
     Tokens longer than ``max_token_len`` are replaced with ``<UNK>``
     before downstream tagging, the reference's GPU-memory guard
     (tokenize_processor.py:113-117); offsets keep the original span."""
-    splitter = split_pretokenized if pretokenized else split_sentences
+    if variant is not None:
+        splitter = TOKENIZER_VARIANTS[variant]
+    else:
+        splitter = split_pretokenized if pretokenized else split_sentences
     for sent_id, (s_start, s_end, toks) in enumerate(splitter(text)):
         words = []
         for t_i, (tok, a, b) in enumerate(toks):

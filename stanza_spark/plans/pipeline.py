@@ -39,10 +39,11 @@ from ..operators.html import extract_text_expr
 from ..operators.annotate import annotate
 from ..operators.mentions import decode_mentions
 from ..operators.triples import extract_triples
-from ..operators.linking import alias_df, link_mentions
+from ..operators.linking import alias_df, link_mentions_with_fallback
 from ..operators.graph import materialize_graph
 
-STAGES = ["pages", "words", "mentions", "links", "triples", "graph"]
+STAGES = ["pages", "words", "mentions", "links", "coref", "triples",
+          "graph"]
 
 
 class KGPipeline:
@@ -189,8 +190,19 @@ class KGPipeline:
 
         self._run_stage(
             "links",
-            lambda m: link_mentions(m, alias_df(self.spark)),
+            lambda m: link_mentions_with_fallback(m, alias_df(self.spark)),
             ["mentions"], hook("links"))
+
+        def coref_stage(w, m):
+            from ..operators.coref import coref_input, resolve_pronouns
+            a = F.broadcast(alias_df(self.spark).select(
+                F.lower("alias").alias("alias_l"), "entity_id"))
+            ml = (m.withColumn("alias_l", F.lower("mention"))
+                  .join(a, "alias_l", "left").drop("alias_l"))
+            return resolve_pronouns(coref_input(w, ml))
+
+        self._run_stage(
+            "coref", coref_stage, ["words", "mentions"], hook("coref"))
 
         self._run_stage(
             "triples",

@@ -272,6 +272,15 @@ def test_pretokenized_no_mask_no_ssplit_inside_line():
                                               "www.x.org", "c"]
 
 
+def test_no_ssplit_mode_one_sentence_per_paragraph():
+    from stanza_spark.operators.annotate import annotate_sentences
+    text = "One two. Three four!\n\nFive six."
+    sents = list(annotate_sentences(text, variant="no_ssplit"))
+    assert len(sents) == 2  # punctuation does NOT split; blank line does
+    assert [w["text"] for w in sents[0][3]] == [
+        "One", "two", ".", "Three", "four", "!"]
+
+
 def test_token_too_long_replaced_with_unk():
     # tokenize_processor.py:113-117 guard, offsets keep the original span
     from stanza_spark.operators.annotate import annotate_sentences

@@ -289,6 +289,59 @@ def test_shingles_short_text_edge(spark):
     assert got == [(4, "w x y"), (4, "x y z")]
 
 
+def test_tokenizer_variant_registry():
+    """op 22: a drop-in tokenizer variant (register_processor_variant
+    analog) replaces sentence splitting; downstream annotation is
+    agnostic."""
+    from stanza_spark.operators.annotate import (
+        annotate_sentences, register_tokenizer_variant, TOKENIZER_VARIANTS)
+
+    def semicolon_splitter(text):
+        sents = []
+        pos = 0
+        for chunk in text.split(";"):
+            toks = []
+            cpos = pos
+            for t in chunk.split():
+                a = text.index(t, cpos)
+                toks.append((t, a, a + len(t)))
+                cpos = a + len(t)
+            if toks:
+                sents.append((toks[0][1], toks[-1][2], toks))
+            pos += len(chunk) + 1
+        return sents
+
+    register_tokenizer_variant("semicolon", semicolon_splitter)
+    try:
+        sents = list(annotate_sentences("alpha beta; gamma delta",
+                                        variant="semicolon"))
+        assert len(sents) == 2
+        assert [w["text"] for w in sents[1][3]] == ["gamma", "delta"]
+        # default variant unchanged
+        assert len(list(annotate_sentences("alpha beta; gamma"))) == 1
+    finally:
+        TOKENIZER_VARIANTS.pop("semicolon", None)
+
+
+def test_documents_json_nested(spark):
+    """I4: nested Document.to_dict-style JSON per document."""
+    import json
+    from stanza_spark.sources.serialize import documents_json
+    doc = "Barack Obama was born in Hawaii.  Obama attended Harvard."
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    out = documents_json(annotate(df)).collect()
+    assert len(out) == 1
+    sents = json.loads(out[0].json)
+    assert len(sents) == 2
+    w0 = sents[0][0]
+    assert (w0["id"], w0["text"], w0["lemma"], w0["upos"],
+            w0["head"], w0["deprel"], w0["ner"]) == \
+        (1, "Barack", "Barack", "PROPN", 4, "nsubj:pass", "B-PERSON")
+    assert [w["text"] for w in sents[1]] == ["Obama", "attended",
+                                             "Harvard", "."]
+
+
 def test_enhanced_deps_column(spark):
     """Word.deps analog: obl words get case-suffixed enhanced relations
     (obl:in), everything else keeps head:deprel."""
