@@ -20,13 +20,35 @@ def stopword_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "lang_cand string, word string")
 
 
+# The reference's tweet-cleanup pass before language id
+# (/root/reference/stanza/pipeline/langid_processor.py:60-64): shortened
+# urls, @handles, #hashtags and !./ runs are blanked so they cannot vote.
+# (The emoji strip, langid_processor.py:76-77, needs the `emoji` package —
+# absent here by design; emoji are non-letters and never reach the
+# stopword join anyway.)  All four are RE2+Java-safe so the DuckDB oracle
+# applies the identical chain.
+LANGID_CLEANUP_RES = [
+    r"https?://t\.co/[a-zA-Z0-9]+",
+    r"@[a-zA-Z0-9_]+",
+    r"#[a-zA-Z]+",
+    r"[!.]+",
+]
+
+
+def langid_clean_expr(col):
+    for pat in LANGID_CLEANUP_RES:
+        col = F.regexp_replace(col, pat, " ")
+    return col
+
+
 def langid(df: DataFrame, spark: SparkSession, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
     """-> (doc_id, lang_pred, score): argmax stopword-hit count per
-    language; ties lexicographic; no hits -> 'und'."""
+    language over the cleaned text; ties lexicographic; no hits -> 'und'."""
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.col(text_col)), "[^\\p{L}]+")).alias("word"),
+        F.explode(F.split(F.lower(langid_clean_expr(F.col(text_col))),
+                          "[^\\p{L}]+")).alias("word"),
     ).filter(F.col("word") != "")
     hits = (
         toks.join(F.broadcast(stopword_df(spark)), "word")

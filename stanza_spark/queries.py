@@ -34,6 +34,15 @@ from .operators.graph import materialize_graph
 DUCK = Dialect("duckdb")
 
 
+def _morphseg_oracle(d: Dialect) -> str:
+    from .operators.morphseg import morphseg_sql
+    return (
+        f"SELECT url, sent_id, token_id AS word_id, token AS word, "
+        f"{morphseg_sql('token')} AS morphemes "
+        f"FROM ({tokens_select(d)}) WHERE lang = 'en'"
+    )
+
+
 def _sentiment_oracle(d: Dialect) -> str:
     from . import vocab as V
     pos = ", ".join(f"'{w}'" for w in V.SENTIMENT_POS)
@@ -126,6 +135,16 @@ def q_kg_enhanced_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oblique edges (obl:in / obl:to / obl:at) off verb roots."""
     from .operators.enhanced import enhanced_obl_edges
     return enhanced_obl_edges(_words(spark, sf_dir, cache=True))
+
+
+def q_kg_morphseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological segmentation (op 21): deterministic affix grammar as
+    a pure Catalyst expression over the word stream."""
+    from .operators.morphseg import segment_words
+    w = _words(spark, sf_dir)
+    return segment_words(w).select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "morphemes")
 
 
 def q_kg_constituency(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,6 +242,7 @@ KG_QUERIES = {
     "kg_lemma_ensemble": q_kg_lemma_ensemble,
     "kg_constituency": q_kg_constituency,
     "kg_enhanced_deps": q_kg_enhanced_deps,
+    "kg_morphseg": q_kg_morphseg,
     "kg_sentiment": q_kg_sentiment,
     "kg_mentions": q_kg_mentions,
     "kg_mentions_multi": q_kg_mentions_multi,
@@ -252,6 +272,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_lemma_ensemble": gold_pos_lemma_select(d),
         "kg_constituency": gold_constituency_select(d),
         "kg_enhanced_deps": gold_enhanced_deps_select(d),
+        "kg_morphseg": _morphseg_oracle(d),
         "kg_sentiment": _sentiment_oracle(d),
         "kg_mentions": gold_mentions_select(d),
         "kg_mentions_multi": gold_mentions_multi_select(d),

@@ -161,6 +161,16 @@ _JACCARD = f"""
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
 
 
+def _langid_clean_sql(expr: str) -> str:
+    """DuckDB twin of textstats.langid_clean_expr (note the 'g' flag:
+    DuckDB regexp_replace is first-match-only by default)."""
+    for pat in T.LANGID_CLEANUP_RES:
+        # DuckDB plain string literals pass backslashes through verbatim
+        lit = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit}', ' ', 'g')"
+    return expr
+
+
 def textops_oracles() -> dict[str, str]:
     a_arr = "[" + ", ".join(str(x) for x in D.SEED_A) + "]"
     b_arr = "[" + ", ".join(str(x) for x in D.SEED_B) + "]"
@@ -301,7 +311,8 @@ def textops_oracles() -> dict[str, str]:
         """,
         "text_langid": f"""
             WITH stop(lang_cand, word) AS (VALUES {stop_rows}),
-            p AS (SELECT url AS doc_id, text FROM ({pages_select(DUCK)})),
+            p AS (SELECT url AS doc_id, {_langid_clean_sql('text')} AS text
+                  FROM ({pages_select(DUCK)})),
             toks AS (
               SELECT doc_id, unnest(regexp_split_to_array(lower(text),
                      '[^\\p{{L}}]+')) AS word FROM p),

@@ -289,6 +289,41 @@ def test_shingles_short_text_edge(spark):
     assert got == [(4, "w x y"), (4, "x y z")]
 
 
+def test_morphseg_rules_and_spark_parity(spark):
+    """op 21 stand-in: affix segmentation — Python twin, the Catalyst
+    expression and edge cases agree."""
+    from stanza_spark.operators.morphseg import segment_word, segment_words
+    assert segment_word("unhappiness") == ["un", "happi", "ness"]
+    assert segment_word("rebuilding") == ["re", "build", "ing"]
+    assert segment_word("disagreement") == ["dis", "agree", "ment"]
+    assert segment_word("quickly") == ["quick", "ly"]
+    assert segment_word("red") == ["red"]        # stem floor: no 'r'+'ed'
+    assert segment_word("uned") == ["uned"]      # both affixes can't fit
+    assert segment_word("Paris") == ["Paris"]    # capitalized: whole
+    assert segment_word("can't") == ["can't"]    # non-alpha: whole
+    words = ["unhappiness", "rebuilding", "quickly", "red", "Paris",
+             "preheating", "disallowed", "uneding", "prely", "rely"]
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    got = {r.text: r.morphemes for r in segment_words(df).collect()}
+    assert got == {w: "+".join(segment_word(w)) for w in words}
+
+
+def test_langid_tweet_cleanup(spark):
+    """The reference's pre-langid cleanup (langid_processor.py:60-82):
+    @handles, #hashtags and t.co urls are blanked before voting — '@la
+    #el' alone must NOT vote Spanish."""
+    from stanza_spark.operators.textstats import langid
+    df = spark.createDataFrame(
+        [(1, "@la #el https://t.co/abc123"),
+         (2, "la el los con un por fue"),
+         (3, "the cat was in the house for a while")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in langid(df, spark).collect()}
+    assert got[1] == "und"   # everything cleaned away
+    assert got[2] == "es"
+    assert got[3] == "en"
+
+
 def test_tokenizer_variant_registry():
     """op 22: a drop-in tokenizer variant (register_processor_variant
     analog) replaces sentence splitting; downstream annotation is

@@ -110,6 +110,32 @@ def test_lemma_ensemble_dict_hits_never_reach_python(spark, tmp_path):
     assert diff == 0
 
 
+def test_fuzzy_linking_plan_broadcasts_alias_grams(spark):
+    """Fuzzy fallback: every alias-side join is broadcast (the dictionary
+    is tiny); no cartesian product anywhere."""
+    from stanza_spark.operators.annotate import annotate
+    from stanza_spark.operators.linking import alias_df, fuzzy_link_mentions
+    from stanza_spark.operators.mentions import decode_mentions
+    from stanza_spark.sources.pages import pages
+    m = decode_mentions(annotate(pages(spark, SF_SMOKE, with_html=False)))
+    p = _plan(fuzzy_link_mentions(m, alias_df(spark)))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ivf_plan_broadcasts_centroids(spark):
+    """IVF ANN: centroid table and probe lists broadcast; the only
+    corpus-sized joins key on cent_id / neighbor_id."""
+    from stanza_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qids = emb.filter(F.col("vec_id") < 5) \
+              .select(F.col("vec_id").alias("query_id"))
+    p = _plan(ivf_topk(emb, qids, 3))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     """Scale pattern: pre-bucketed tables co-locate their join — neither
     side shuffles (SURVEY §0 'repartition/bucketing for co-located

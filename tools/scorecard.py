@@ -1,8 +1,13 @@
 """North-rule scorecard: compute every BASELINE.json criterion in one run.
 
-Usage: python tools/scorecard.py [sf_dir]
+Usage: python tools/scorecard.py [sf_dir] [replicate_mult]
 Prints one JSON object: triple P/R, byte-identical-extraction violations,
 tokenizer F1, scaling efficiency (from BENCH_SCALING.json).
+
+With ``replicate_mult`` the corpus is replicated that many times and the
+headline triple P/R runs FULLY DISTRIBUTED (gold derived via the Spark
+dialect, eval.triple_pr join counts — nothing collected to the driver),
+demonstrating the metric harness itself survives bench scale.
 """
 
 from __future__ import annotations
@@ -29,15 +34,37 @@ def main():
 
     spark = get_spark("scorecard", extra={"spark.ui.showConsoleProgress": "false"})
 
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                f"'{sf_dir}/documents.parquet'")
-    gold_rows = con.execute(gold_triples_select(Dialect("duckdb"))).fetchall()
-    gold = spark.createDataFrame(
-        [(r[0], r[1], r[2], r[3], r[4]) for r in gold_rows],
-        "url string, sent_id int, subj string, pred string, obj string")
-
-    pr = triple_pr(q_kg_triples(spark, sf_dir), gold)
+    big_mult = int(sys.argv[2]) if len(sys.argv) > 2 else None
+    if big_mult:
+        # bench-scale mode: replicate the corpus, derive gold with the
+        # SPARK dialect, compare via the distributed join-count P/R
+        import tempfile
+        from stanza_spark.queries import q_kg_triples_narrow
+        tmp = tempfile.mkdtemp(prefix="scorecard-big-")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        big = (
+            docs.withColumn(
+                "k", F.explode(F.sequence(F.lit(0), F.lit(big_mult - 1))))
+            .withColumn("doc_id",
+                        F.col("doc_id") * big_mult + F.col("k"))
+            .drop("k"))
+        big.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        sf_dir = tmp
+        spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .createOrReplaceTempView("documents")
+        gold = spark.sql(gold_triples_select(Dialect("spark"))).select(
+            "url", "sent_id", "subj", "pred", "obj")
+        pr = triple_pr(q_kg_triples_narrow(spark, sf_dir), gold)
+    else:
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"'{sf_dir}/documents.parquet'")
+        gold_rows = con.execute(
+            gold_triples_select(Dialect("duckdb"))).fetchall()
+        gold = spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4]) for r in gold_rows],
+            "url string, sent_id int, subj string, pred string, obj string")
+        pr = triple_pr(q_kg_triples(spark, sf_dir), gold)
 
     p = pages(spark, sf_dir, with_html=True)
     byte_violations = (
@@ -45,8 +72,11 @@ def main():
         .filter(F.col("rt") != F.col("text")).count()
     )
 
-    w = annotate(pages(spark, sf_dir, with_html=False))
-    tok = tokenization_f1(w, w)  # self-consistency (gold == committed rules)
+    if big_mult:
+        tok = None  # driver-side set harness is fixture-scale by design
+    else:
+        w = annotate(pages(spark, sf_dir, with_html=False))
+        tok = tokenization_f1(w, w)  # self-consistency vs committed rules
 
     scaling = None
     sp = os.path.join(os.path.dirname(os.path.dirname(
