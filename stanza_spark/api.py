@@ -1,0 +1,150 @@
+"""User-facing Pipeline facade: the drop-in surface for a reference user
+(`nlp = Pipeline(...); doc_df = nlp(text)`), mapped onto the Spark-native
+engine.
+
+Mirrors the reference's construction-time plan validation
+(/root/reference/stanza/pipeline/core.py:178-347): the processor list is
+topologically ordered by PIPELINE_NAMES, each processor's ``requires`` set
+must be provided by an earlier one (processor.py:100-157), and a violation
+raises PipelineRequirementsException *before* any execution — the static
+DAG check happening before Catalyst ever sees a plan.
+
+Execution is columnar: every requested processor's annotations are columns
+of the returned words DataFrame (the single narrow Arrow pass computes the
+full closure; unrequested annotation columns are nulled so the output
+surface matches the configured pipeline exactly, like a reference pipeline
+that never loaded those models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# execution order (reference PIPELINE_NAMES, core.py:22-31 + registry)
+PIPELINE_NAMES = ["tokenize", "mwt", "pos", "lemma", "constituency",
+                  "coref", "depparse", "sentiment", "ner", "morphseg"]
+
+REQUIRES = {
+    "tokenize": set(),
+    "mwt": {"tokenize"},
+    "pos": {"tokenize"},
+    "lemma": {"tokenize"},
+    "constituency": {"tokenize", "pos"},
+    "coref": {"tokenize"},
+    "depparse": {"tokenize", "pos", "lemma"},
+    "sentiment": {"tokenize"},
+    "ner": {"tokenize"},
+    "morphseg": {"tokenize"},
+}
+
+# words-table columns produced by each processor
+_PROCESSOR_COLUMNS = {
+    "mwt": ["is_mwt"],
+    "pos": ["upos", "xpos", "feats"],
+    "lemma": ["lemma"],
+    "depparse": ["head", "deprel"],
+    "ner": ["ner"],
+}
+
+
+class PipelineRequirementsException(Exception):
+    pass
+
+
+class Pipeline:
+    """stanza.Pipeline analog over Spark.
+
+    >>> nlp = Pipeline(spark, processors="tokenize,pos,lemma")
+    >>> words_df = nlp("Barack Obama was born in Hawaii.")
+    """
+
+    def __init__(self, spark: SparkSession,
+                 processors: str = "tokenize,mwt,pos,lemma,depparse,ner",
+                 lang: str = "en", pretokenized: bool = False,
+                 no_ssplit: bool = False):
+        self.spark = spark
+        self.lang = lang
+        self.pretokenized = pretokenized
+        self.no_ssplit = no_ssplit
+        names = [p.strip() for p in processors.split(",") if p.strip()]
+        unknown = [p for p in names if p not in PIPELINE_NAMES]
+        if unknown:
+            raise ValueError(f"unknown processors: {unknown}")
+        # topo-order by the canonical pipeline order (common.py:169-185)
+        self.processors = [p for p in PIPELINE_NAMES if p in names]
+        provided: set[str] = set()
+        for p in self.processors:
+            missing = REQUIRES[p] - provided
+            if missing:
+                raise PipelineRequirementsException(
+                    f"processor {p!r} requires {sorted(missing)} but the "
+                    f"pipeline only provides {sorted(provided)}")
+            provided.add(p)
+
+    # -- execution ---------------------------------------------------------
+
+    def _pages(self, docs) -> DataFrame:
+        if isinstance(docs, DataFrame):
+            return docs
+        if isinstance(docs, str):
+            docs = [docs]
+        return self.spark.createDataFrame(
+            [(f"doc{i}", self.lang, t) for i, t in enumerate(docs)],
+            "url string, lang string, text string")
+
+    def process(self, docs) -> DataFrame:
+        """str | list[str] | pages DataFrame -> words DataFrame with the
+        configured processors' columns (others nulled)."""
+        from .operators.annotate import annotate
+        variant = ("pretokenized" if self.pretokenized
+                   else "no_ssplit" if self.no_ssplit else None)
+        pages = self._pages(docs)
+        if variant == "pretokenized":
+            w = annotate(pages, en_only=False, pretokenized=True)
+        elif variant == "no_ssplit":
+            # route through the registered variant
+            from .operators import annotate as A
+
+            def batches(it):
+                import pandas as pd
+                for pdf in it:
+                    out = []
+                    for url, lng, text in zip(pdf["url"], pdf["lang"],
+                                              pdf["text"]):
+                        for sid, ss, se, words in A.annotate_sentences(
+                                text, variant="no_ssplit"):
+                            for wi, wd in enumerate(words):
+                                out.append((url, lng, sid, ss, se,
+                                            wd["token_id"], wi + 1,
+                                            wd["is_mwt"], wd["text"],
+                                            wd["start"], wd["end"],
+                                            wd["upos"], wd["xpos"],
+                                            wd["feats"], wd["lemma"],
+                                            wd["head"], wd["deprel"],
+                                            wd["ner"]))
+                    yield pd.DataFrame(out, columns=A.WORD_COLUMNS)
+
+            w = pages.select("url", "lang", "text").mapInPandas(
+                batches, schema=A.WORDS_SCHEMA)
+        else:
+            w = annotate(pages, en_only=False)
+        # null out annotation columns of processors that were not requested
+        absent = [c for p, cols in _PROCESSOR_COLUMNS.items()
+                  if p not in self.processors for c in cols]
+        for c in absent:
+            w = w.withColumn(c, F.lit(None).cast(dict(w.dtypes)[c]))
+        if "morphseg" in self.processors:
+            from .operators.morphseg import segment_words
+            w = segment_words(w)
+        return w
+
+    __call__ = process
+
+    def bulk_process(self, texts: list[str]) -> DataFrame:
+        return self.process(list(texts))
+
+    def conllu(self, text: str) -> str:
+        """Reference {:C} rendering of one document (requires the full
+        pipeline: golden-format comments need constituency+sentiment)."""
+        from .sources.conllu import render_document
+        return render_document(text)

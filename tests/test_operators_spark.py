@@ -289,6 +289,42 @@ def test_shingles_short_text_edge(spark):
     assert got == [(4, "w x y"), (4, "x y z")]
 
 
+def test_pipeline_facade(spark):
+    """The stanza.Pipeline-style entry point: dependency validation at
+    construction (core.py:342-345 analog), columnar output matching the
+    configured processor set."""
+    import pytest as _pytest
+    from stanza_spark.api import Pipeline, PipelineRequirementsException
+    nlp = Pipeline(spark, processors="tokenize,pos,lemma")
+    w = nlp("Barack Obama was born in Hawaii.").collect()
+    by = {r.text: r for r in w}
+    assert by["born"].lemma == "bear" and by["born"].upos == "VERB"
+    assert by["born"].head is None          # depparse not requested
+    assert by["Hawaii"].ner is None         # ner not requested
+    # depparse without pos/lemma must fail the static DAG check
+    with _pytest.raises(PipelineRequirementsException):
+        Pipeline(spark, processors="tokenize,depparse")
+    with _pytest.raises(ValueError):
+        Pipeline(spark, processors="tokenize,flux")
+    # bulk + full pipeline + {:C} rendering
+    full = Pipeline(spark)
+    assert full.bulk_process(["One two.", "Three."]).count() == 5
+    assert full.conllu("Obama attended Harvard.").startswith(
+        "# text = Obama attended Harvard.")
+
+
+def test_pipeline_facade_no_ssplit_and_pretokenized(spark):
+    from stanza_spark.api import Pipeline
+    ns = Pipeline(spark, processors="tokenize", no_ssplit=True)
+    rows = ns("One two. Three!").collect()
+    assert {r.sent_id for r in rows} == {0}
+    pt = Pipeline(spark, processors="tokenize,pos", pretokenized=True)
+    rows = pt("This is a test\nunban mox opal").collect()
+    assert {r.sent_id for r in rows} == {0, 1}
+    assert [r.text for r in rows if r.sent_id == 1] == ["unban", "mox",
+                                                        "opal"]
+
+
 def test_morphseg_rules_and_spark_parity(spark):
     """op 21 stand-in: affix segmentation — Python twin, the Catalyst
     expression and edge cases agree."""
