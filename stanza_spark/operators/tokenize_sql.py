@@ -8,9 +8,13 @@ Python.  The Arrow annotator (operators.annotate) produces the same token
 stream with offsets; parity between the two paths is asserted in tests.
 
 The sentence rule matches the annotator: a sentence ends after a [.!?]
-(or CJK 。！？) token; URLs/emails are single tokens first (the reference's
-MASK_RE override, /root/reference/stanza/models/tokenization/utils.py:199-248)
-so dots inside them never split.
+(or CJK 。！？) token; URLs/emails are single tokens first so dots inside
+them never split.  The SQL path uses the RE2/Java-safe vocab.URL_RE/
+EMAIL_RE twins of the reference's MASK_RE (tokenization/utils.py:199-248);
+the Arrow annotator applies the verbatim-semantics reference regexes —
+the two agree on every corpus form and on realistic web text (asserted in
+tests), diverging only on documented pathologies (hosts starting 'www'
+without a dot, quoted-string email local parts).
 """
 
 from __future__ import annotations
