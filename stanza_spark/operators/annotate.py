@@ -164,11 +164,13 @@ def split_sentences(text: str):
 # MWT expansion (op 13)
 # ---------------------------------------------------------------------------
 
-def expand_token(tok: str):
-    """token text -> list of word texts (len>1 iff MWT)."""
+def expand_token(tok: str, lang: str = "en"):
+    """token text -> list of word texts (len>1 iff MWT); per-language MWT
+    dictionaries (German APPRART contractions: im -> in dem)."""
     lw = tok.lower()
-    if lw in V.MWT_DICT:
-        parts = V.MWT_DICT[lw]
+    mwt = V.DE_MWT_DICT if lang == "de" else V.MWT_DICT
+    if lw in mwt:
+        parts = mwt[lw]
         # preserve original casing on the first part
         if tok[0].isupper():
             first = parts[0].capitalize()
@@ -181,11 +183,23 @@ def expand_token(tok: str):
 # POS + lemma (ops 15, 16)
 # ---------------------------------------------------------------------------
 
-def tag_word(text: str):
-    """-> (upos, xpos, feats, lemma)."""
+def tag_word(text: str, lang: str = "en"):
+    """-> (upos, xpos, feats, lemma); the per-language lexicon switch is
+    the executor-local model cache of MultilingualPipeline (op 7)."""
     lw = text.lower()
     if URL_PAT.match(text):
         return ("X", "ADD", "_", text)
+    if lang == "de":
+        if lw in V.DE_LEXICON:
+            return V.DE_LEXICON[lw]
+        if NUM_PAT.match(text):
+            return ("NUM", "CARD", "NumForm=Digit|NumType=Card", text)
+        if len(text) == 1 and not text.isalnum():
+            return ("PUNCT", "$.", "_", text)
+        # German default: capitalized -> NOUN (nouns capitalize), else X
+        if text[0].isupper():
+            return ("NOUN", "NN", "_", text)
+        return ("X", "XY", "_", text)
     if lw in V.VERB_LEXICON:
         xpos, lemma = V.VERB_LEXICON[lw]
         return ("VERB", xpos, V.VERB_FEATS[xpos], lemma)
@@ -274,7 +288,7 @@ def parse_sentence(words):
     root = next((i for i, w in enumerate(words) if w["upos"] == "VERB"), None)
     if root is None:
         root = next((i for i, w in enumerate(words) if w["upos"] in NOMINAL), 0)
-    passive = (words[root]["xpos"] == "VBN"
+    passive = (words[root]["xpos"] in ("VBN", "VVPP")
                and any(w["upos"] == "AUX" for w in words[:root]))
 
     # nominal spans; PROPN runs get flat-attached to their first word
@@ -450,7 +464,7 @@ def register_tokenizer_variant(name: str, splitter) -> None:
 
 def annotate_sentences(text: str, pretokenized: bool = False,
                        max_token_len: int = MAX_TOKEN_LEN_DEFAULT,
-                       variant: str | None = None):
+                       variant: str | None = None, lang: str = "en"):
     """Full per-sentence annotation: yields
     (sent_id, sent_start, sent_end, words) with words = the annotated
     dicts (token_id/is_mwt/text/start/end/upos/xpos/feats/lemma/head/
@@ -469,10 +483,10 @@ def annotate_sentences(text: str, pretokenized: bool = False,
         for t_i, (tok, a, b) in enumerate(toks):
             if len(tok) > max_token_len:
                 tok = TOKEN_TOO_LONG_REPLACEMENT
-            parts = expand_token(tok)
+            parts = expand_token(tok, lang)
             is_mwt = len(parts) > 1
             for p in parts:
-                upos, xpos, feats, lemma = tag_word(p)
+                upos, xpos, feats, lemma = tag_word(p, lang)
                 words.append({
                     "token_id": t_i + 1, "is_mwt": is_mwt, "text": p,
                     "start": a, "end": b, "upos": upos, "xpos": xpos,
@@ -490,7 +504,7 @@ def annotate_page(url: str, lang: str, text: str,
     """-> list of word-row tuples (WORD_COLUMNS order)."""
     rows = []
     for sent_id, s_start, s_end, words in annotate_sentences(
-            text, pretokenized=pretokenized):
+            text, pretokenized=pretokenized, lang=lang):
         for w_i, w in enumerate(words):
             rows.append((
                 url, lang, sent_id, s_start, s_end,

@@ -21,7 +21,11 @@ from pyspark.sql import DataFrame, functions as F
 from .annotate import annotate
 from .tokenize_sql import sentences_from_pages, tokens_sql
 
-FULL_PIPELINE_LANGS = ("en",)
+# two FULL languages: the per-language "models" are the en rule lexicons
+# and the de lexicon + APPRART MWT dict (vocab.DE_LEXICON/DE_MWT_DICT) —
+# German pages get real MWT expansion (im -> in dem), so the routed word
+# stream exercises tuple token ids corpus-wide
+FULL_PIPELINE_LANGS = ("en", "de")
 
 
 def route_and_annotate(pages_df: DataFrame,

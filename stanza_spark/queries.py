@@ -19,6 +19,7 @@ from .synth import (
     gold_links_select, gold_links_fuzzy_select, gold_graph_select,
     gold_components_select, gold_mentions_multi_select,
     gold_constituency_select, gold_enhanced_deps_select, gold_coref_select,
+    gold_words_routed_select, gold_pos_lemma_de_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -211,13 +212,24 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_words_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multilingual routing (op 7): full annotation for en, tokenize-only
-    elsewhere; the word stream must equal the language-agnostic token
-    stream (word_id == token_id on this MWT-free corpus)."""
+    """Multilingual routing (op 7): FULL annotation for en and de
+    (per-language lexicon models; German pages carry real MWT expansions
+    im -> in dem), tokenize-only for the rest."""
     from .operators.multilingual import route_and_annotate
     w = route_and_annotate(pages(spark, sf_dir, with_html=False))
     return w.select("url", "lang", "sent_id", "word_id",
                     F.col("text").alias("word"))
+
+
+def q_kg_pos_lemma_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """German full-pipeline annotations (op 7 second language): lexicon
+    POS/feats/lemma + APPRART MWT expansion, value-checked per word."""
+    from .operators.multilingual import route_and_annotate
+    w = route_and_annotate(pages(spark, sf_dir, with_html=False))
+    return w.filter(F.col("lang") == "de").select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "xpos", "feats", "lemma",
+        F.col("is_mwt").cast("int").alias("is_mwt"))
 
 
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,6 +264,7 @@ KG_QUERIES = {
     "kg_triples_narrow": q_kg_triples_narrow,
     "kg_graph_edges": q_kg_graph_edges,
     "kg_words_routed": q_kg_words_routed,
+    "kg_pos_lemma_de": q_kg_pos_lemma_de,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
 }
@@ -281,9 +294,8 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples": gold_triples_select(d),
         "kg_triples_narrow": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),
-        "kg_words_routed": (
-            "SELECT url, lang, sent_id, token_id AS word_id, "
-            f"token AS word FROM ({tokens_select(d)})"),
+        "kg_words_routed": gold_words_routed_select(d),
+        "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),
     }

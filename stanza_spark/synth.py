@@ -418,6 +418,59 @@ def gold_enhanced_deps_select(d: Dialect) -> str:
     return " UNION ALL ".join(branches)
 
 
+# ---------------------------------------------------------------------------
+# Multilingual routing oracles: German is a FULL pipeline language whose
+# word stream includes real MWT expansions (im -> in dem), so its gold
+# word/annotation pattern is derived by running the de annotator on the
+# sentinel template instance (word positions are template constants).
+# ---------------------------------------------------------------------------
+
+def _de_word_pattern():
+    from .operators.annotate import annotate_sentences
+    parts, _ = V.NON_EN_TEMPLATES["de"]
+    text = "".join("1111" if p == "Y" else p for p in parts)
+    sents = list(annotate_sentences(text, lang="de"))
+    assert len(sents) == 1
+    return sents[0][3]  # word dicts incl. upos/xpos/feats/lemma/token_id
+
+
+def gold_words_routed_select(d: Dialect) -> str:
+    """(url, lang, sent_id, word_id, word): token stream everywhere except
+    de, where the MWT-expanded word stream applies."""
+    toks = tokens_select(d)
+    non_de = (f"SELECT url, lang, sent_id, token_id AS word_id, "
+              f"token AS word FROM ({toks}) WHERE lang <> 'de'")
+    inner = sentences_select(d)
+    y = slot_expr(d, "Y", "sent_id")
+    branches = []
+    for i, w in enumerate(_de_word_pattern()):
+        expr = y if w["text"] == "1111" else d.str_lit(w["text"])
+        branches.append(
+            f"SELECT url, lang, sent_id, {i + 1} AS word_id, {expr} AS word "
+            f"FROM ({inner}) WHERE lang = 'de'")
+    return non_de + " UNION ALL " + " UNION ALL ".join(branches)
+
+
+def gold_pos_lemma_de_select(d: Dialect) -> str:
+    """(url, sent_id, word_id, word, upos, xpos, feats, lemma, is_mwt)
+    for lang='de' — the German lexicon annotations as template constants."""
+    inner = sentences_select(d)
+    y = slot_expr(d, "Y", "sent_id")
+    branches = []
+    for i, w in enumerate(_de_word_pattern()):
+        if w["text"] == "1111":
+            word, lemma = y, y
+        else:
+            word, lemma = d.str_lit(w["text"]), d.str_lit(w["lemma"])
+        branches.append(
+            f"SELECT url, sent_id, {i + 1} AS word_id, {word} AS word, "
+            f"{d.str_lit(w['upos'])} AS upos, {d.str_lit(w['xpos'])} AS xpos, "
+            f"{d.str_lit(w['feats'])} AS feats, {lemma} AS lemma, "
+            f"{1 if w['is_mwt'] else 0} AS is_mwt "
+            f"FROM ({inner}) WHERE lang = 'de'")
+    return " UNION ALL ".join(branches)
+
+
 def alias_values_cte(d: Dialect) -> str:
     """Inline VALUES table for the entity-linking alias dictionary."""
     rows = ", ".join(

@@ -226,9 +226,14 @@ _EMAIL_ATOM = r"[a-z0-9!#$%&'*+/=?^_`{|}~-]+"
 _EMAIL_LABEL = r"[a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
 EMAIL_RE = (rf"{_EMAIL_ATOM}(?:\.{_EMAIL_ATOM})*"
             rf"@(?:{_EMAIL_LABEL}\.)+{_EMAIL_LABEL}")
-WORD_RE = r"[A-Za-z]+(?:'[A-Za-z]+)?"
+# Latin letters incl. Latin-1 supplement (À-Ö Ø-ö ø-ÿ, skipping ×/÷):
+# ASCII-only word tokens would split "veröffentlicht"/"publié" at the
+# accented letter.  Literal ranges mean the same thing in python-re, RE2
+# and java.util.regex.
+_LATIN = "A-Za-zÀ-ÖØ-öø-ÿ"
+WORD_RE = rf"[{_LATIN}]+(?:'[{_LATIN}]+)?"
 NUM_RE = r"[0-9]+(?:[.,][0-9]+)*"
-PUNCT_RE = rf"[^A-Za-z0-9{WS_CLASS}]"
+PUNCT_RE = rf"[^{_LATIN}0-9{WS_CLASS}]"
 TOKEN_RE = f"{URL_RE}|{EMAIL_RE}|{WORD_RE}|{NUM_RE}|{PUNCT_RE}"
 
 SENT_END_CHARS = {".", "!", "?"}
@@ -324,6 +329,30 @@ MWT_DICT = {
     "you'll": ["you", "'ll"],
     "i've": ["i", "'ve"],
     "they'd": ["they", "'d"],
+}
+
+# --------------------------------------------------------------------------
+# German "model" (MultilingualPipeline full-language #2, op 7): lexicon +
+# MWT contractions covering the de template.  German APPRART contractions
+# ("im" = "in dem") are REAL multi-word tokens, so the routed corpus
+# exercises the MWT path end-to-end (tuple token ids, doc.py:27-28).
+# Format: word(lower) -> (upos, xpos, feats, lemma); STTS xpos tags.
+# --------------------------------------------------------------------------
+
+DE_LEXICON = {
+    "der": ("DET", "ART", "Case=Nom|Definite=Def|Gender=Masc|Number=Sing|PronType=Art", "der"),
+    "bericht": ("NOUN", "NN", "Case=Nom|Gender=Masc|Number=Sing", "Bericht"),
+    "wurde": ("AUX", "VAFIN", "Mood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin", "werden"),
+    "in": ("ADP", "APPR", "_", "in"),
+    "dem": ("DET", "ART", "Case=Dat|Definite=Def|Gender=Neut|Number=Sing|PronType=Art", "der"),
+    "jahr": ("NOUN", "NN", "Case=Dat|Gender=Neut|Number=Sing", "Jahr"),
+    "veröffentlicht": ("VERB", "VVPP", "VerbForm=Part", "veröffentlichen"),
+}
+
+DE_MWT_DICT = {
+    "im": ["in", "dem"],
+    "zum": ["zu", "dem"],
+    "vom": ["von", "dem"],
 }
 
 # English stopwords for quality scoring / language-id heuristics.

@@ -80,6 +80,26 @@ def test_cjk_sentence_end():
     assert len(sents) == 2
 
 
+def test_german_full_pipeline_with_apprart_mwt():
+    """MultilingualPipeline full language #2: German lexicon annotations
+    and a REAL multi-word token (im -> in dem, the APPRART contraction —
+    tuple token ids like Spanish 'dámelo', doc.py:27-28)."""
+    rows = annotate_page("u", "de",
+                         "Der Bericht wurde im Jahr 1984 veröffentlicht.")
+    words = [(r[8], r[5], r[7], r[11], r[14]) for r in rows]
+    #         text  tok_id is_mwt upos  lemma
+    assert [(w[0], w[1], w[2]) for w in words] == [
+        ("Der", 1, False), ("Bericht", 2, False), ("wurde", 3, False),
+        ("in", 4, True), ("dem", 4, True),   # one token -> two words
+        ("Jahr", 5, False), ("1984", 6, False),
+        ("veröffentlicht", 7, False), (".", 8, False)]
+    by = {w[0]: w for w in words}
+    assert by["wurde"][3:] == ("AUX", "werden")
+    assert by["veröffentlicht"][3:] == ("VERB", "veröffentlichen")
+    assert by["dem"][3:] == ("DET", "der")
+    assert by["Bericht"][3:] == ("NOUN", "Bericht")
+
+
 def test_mwt_expansion():
     assert expand_token("can't") == ["ca", "n't"]
     assert expand_token("Don't") == ["Do", "n't"]

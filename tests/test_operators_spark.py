@@ -234,11 +234,12 @@ def test_multilingual_routing(spark):
     by_lang = {r["lang"]: r["n"] for r in
                w.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(by_lang) == {"en", "de", "es", "fr", "zh"}
-    # full annotation only where a pipeline config exists
-    assert w.filter("lang = 'en' AND upos IS NULL").count() == 0
-    assert w.filter("lang != 'en' AND upos IS NOT NULL").count() == 0
-    # tokenized-only branch still carries the token stream
-    assert by_lang["de"] > 0
+    # full annotation exactly where a pipeline config exists (en + de)
+    assert w.filter("lang IN ('en', 'de') AND upos IS NULL").count() == 0
+    assert w.filter("lang NOT IN ('en', 'de') "
+                    "AND upos IS NOT NULL").count() == 0
+    # German rows carry real MWT expansions (im -> in dem)
+    assert w.filter("lang = 'de' AND is_mwt").count() > 0
 
 
 def test_coref_lite_golden(spark):
