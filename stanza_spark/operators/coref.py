@@ -2,11 +2,17 @@
 coreference chains, as a per-document pass over the mentions table.
 
 The reference runs a neural per-document coref model and selects a
-representative mention per chain — longest span, ties by earliest position
-then most-PROPN (/root/reference/stanza/models/coref/coref_chain.py:66-69).
-The deterministic stand-in resolves each personal pronoun to the nearest
-preceding PERSON mention in the same document (classic recency heuristic)
-and chains repeated surfaces of the same entity.
+representative mention per chain — the longest span in words, length ties
+broken by most PROPN tokens, remaining ties by earliest document position
+(/root/reference/stanza/pipeline/coref_processor.py:135-162: the loop
+updates best only on strictly-greater (len, num_propn), so the first
+maximum wins).  The deterministic stand-in resolves each personal pronoun
+to the most recent PERSON mention in a STRICTLY EARLIER sentence (classic
+recency heuristic; a PERSON in the pronoun's own sentence is never its
+antecedent — the same cross-sentence-only semantics the reference's coref
+model exhibits on its golden fixture, and the semantics the DuckDB oracle
+reconstructs with a `ROWS ... 1 PRECEDING` window over sent_id) and chains
+repeated surfaces of the same entity.
 
 Spark shape: the per-document scan is a grouped operation —
 ``applyInPandas`` over ``groupBy(url)``, the per-doc analog of the
@@ -27,12 +33,25 @@ CHAINS_SCHEMA = ("url string, chain_id int, member string, sent_id int, "
                  "first_word_id int, representative string")
 
 
+def _propn_count(surface: str) -> int:
+    """PROPN tokens in a mention: our NER mentions are capitalized-token
+    runs (every token PROPN); pronouns carry zero."""
+    return 0 if surface.lower() in PRONOUNS else len(surface.split())
+
+
 def _resolve_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     """One document's mentions+pronouns (sorted) -> chain rows."""
     pdf = pdf.sort_values(["sent_id", "first_word_id"])
     chains: dict[str, list] = {}   # key -> [(surface, sent_id, word_id)]
-    last_person = None
+    last_person = None    # committed: latest PERSON from EARLIER sentences
+    pending_person = None  # latest PERSON inside the current sentence
+    cur_sent = None
     for r in pdf.itertuples():
+        if cur_sent is None or r.sent_id != cur_sent:
+            if pending_person is not None:
+                last_person = pending_person
+                pending_person = None
+            cur_sent = r.sent_id
         surface = r.mention
         if surface.lower() in PRONOUNS:
             if last_person is None:
@@ -41,15 +60,20 @@ def _resolve_doc(pdf: pd.DataFrame) -> pd.DataFrame:
         else:
             key = r.entity_id if r.entity_id else surface.lower()
             if r.type == "PERSON":
-                last_person = key
+                pending_person = key
         chains.setdefault(key, []).append(
             (surface, int(r.sent_id), int(r.first_word_id)))
     rows = []
     cid = 0
     for key in sorted(chains):
         members = chains[key]
-        # representative: longest surface, ties earliest (coref_chain.py:66-69)
-        rep = sorted(members, key=lambda m: (-len(m[0]), m[1], m[2]))[0][0]
+        # representative: longest in WORDS, ties by most PROPN, then
+        # earliest document position (coref_processor.py:135-162 — the
+        # reference loop only replaces best on strictly greater
+        # (word_len, num_propn), so the first maximum wins)
+        rep = sorted(members,
+                     key=lambda m: (-len(m[0].split()), -_propn_count(m[0]),
+                                    m[1], m[2]))[0][0]
         if len(members) > 1:
             for surface, sid, wid in members:
                 rows.append((pdf["url"].iloc[0], cid, surface, sid, wid, rep))
@@ -78,15 +102,27 @@ RESOLVE_SCHEMA = ("url string, sent_id int, pronoun string, "
 
 def _resolve_pronouns_doc(pdf: pd.DataFrame) -> pd.DataFrame:
     """One document's coref input -> one row per pronoun with the entity
-    of the most recent preceding PERSON mention (NULL if none)."""
+    of the most recent PERSON mention from a STRICTLY EARLIER sentence
+    (NULL if none).  A PERSON in the pronoun's own sentence never serves —
+    the explicit cross-sentence-only semantics this operator commits to,
+    matching the DuckDB oracle's `ROWS ... 1 PRECEDING` window over
+    sentences (ADVICE r2: the two previously agreed only by accident of
+    the corpus templates)."""
     pdf = pdf.sort_values(["sent_id", "first_word_id"])
-    last_person = None
+    last_person = None     # committed: from sentences before cur_sent
+    pending_person = None  # latest PERSON inside the current sentence
+    cur_sent = None
     rows = []
     for r in pdf.itertuples():
+        if cur_sent is None or r.sent_id != cur_sent:
+            if pending_person is not None:
+                last_person = pending_person
+                pending_person = None
+            cur_sent = r.sent_id
         if r.mention.lower() in PRONOUNS:
             rows.append((r.url, int(r.sent_id), r.mention, last_person))
         elif r.type == "PERSON" and r.entity_id:
-            last_person = r.entity_id
+            pending_person = r.entity_id
     return pd.DataFrame(rows, columns=["url", "sent_id", "pronoun",
                                        "antecedent_entity"])
 

@@ -130,9 +130,14 @@ def merge_graph_edges(spark, existing_dir: str, new_triples: DataFrame,
     else:
         merged = delta.withColumnRenamed("delta_support", "support")
     merged.write.mode("overwrite").parquet(tmp)
+    # ALWAYS carry the existing ledger forward (even when this merge has no
+    # batch_id): otherwise an unledgered merge would commit a table with no
+    # _batches file, erasing replay protection for earlier batches — a
+    # re-submitted old batch would then double-count support (ADVICE r2).
     if batch_id is not None:
-        with open(os.path.join(tmp, "_batches"), "w") as f:
-            json.dump(batches + [batch_id], f)
+        batches = batches + [batch_id]
+    with open(os.path.join(tmp, "_batches"), "w") as f:
+        json.dump(batches, f)
     # atomic-enough swap: the pre-merge table survives as `bak` until the
     # new table is fully in place; every intermediate state is recoverable
     if os.path.exists(existing_dir):

@@ -68,7 +68,10 @@ def _expensive_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
 
 def ensemble_lemmas(words: DataFrame, lemma_dict: DataFrame) -> DataFrame:
     """(url, sent_id, word_id, word, upos) -> + lemma via the dict-first
-    ensemble.  Input may carry extra columns; they pass through."""
+    ensemble.  The result is projected to exactly those five columns plus
+    ``lemma`` — extra input columns are dropped (re-join the output on
+    (url, sent_id, word_id) if you need them; a built-in re-join would
+    force every caller to pay that shuffle)."""
     base = words.select("url", "sent_id", "word_id",
                         F.col("word"), F.col("upos"),
                         F.lower("word").alias("_lw"))

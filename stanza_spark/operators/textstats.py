@@ -23,15 +23,19 @@ def stopword_df(spark: SparkSession) -> DataFrame:
 # The reference's tweet-cleanup pass before language id
 # (/root/reference/stanza/pipeline/langid_processor.py:60-64): shortened
 # urls, @handles, #hashtags and !./ runs are blanked so they cannot vote.
-# (The emoji strip, langid_processor.py:76-77, needs the `emoji` package —
-# absent here by design; emoji are non-letters and never reach the
-# stopword join anyway.)  All four are RE2+Java-safe so the DuckDB oracle
-# applies the identical chain.
+# The emoji strip (langid_processor.py:76-77) uses the `emoji` package
+# there; here it is a codepoint-range class (Misc Symbols, Dingbats,
+# Mahjong..Symbols-Ext incl. all emoji blocks, variation selector FE0F,
+# ZWJ, Misc-Symbols-and-Arrows hearts) — `\x{...}` is valid in BOTH
+# java.util.regex and RE2 so the DuckDB oracle applies the identical
+# chain.  All five patterns are RE2+Java-safe.
 LANGID_CLEANUP_RES = [
     r"https?://t\.co/[a-zA-Z0-9]+",
     r"@[a-zA-Z0-9_]+",
     r"#[a-zA-Z]+",
     r"[!.]+",
+    (r"[\x{2600}-\x{27BF}\x{FE0F}\x{200D}\x{2B00}-\x{2BFF}"
+     r"\x{1F000}-\x{1FAFF}]+"),
 ]
 
 
@@ -77,7 +81,7 @@ def quality_scores(df: DataFrame, spark: SparkSession,
     """-> per-doc curation features: char/token counts, mean token length,
     alpha & stopword ratios, and a coarse quality bucket."""
     en_stop = sorted(V.STOPWORDS["en"])
-    words = F.split(F.col(text_col), "\\s+")
+    words = F.split(F.col(text_col), V.WS_SPLIT_RE)
     toks = df.select(
         F.col(id_col).alias("doc_id"),
         F.length(text_col).alias("n_chars"),
@@ -115,7 +119,7 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     BPE-ish RE tokenizer (vocab.TOKEN_RE)."""
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.size(F.split(F.col(text_col), "\\s+")).alias("n_ws_tokens"),
+        F.size(F.split(F.col(text_col), V.WS_SPLIT_RE)).alias("n_ws_tokens"),
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(V.TOKEN_RE), 0))
          .alias("n_re_tokens"),
     )

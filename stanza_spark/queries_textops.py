@@ -145,9 +145,15 @@ TEXTOPS_QUERIES = {
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_SHINGLES = r"""
+# The literal whitespace-run class shared with the Spark side
+# (vocab.WS_SPLIT_RE): `\s` means different sets in java vs RE2, so both
+# engines split on the same explicit character class.  The class contains
+# actual control/space characters — legal inside a SQL string literal.
+_WS = V.WS_SPLIT_RE
+
+_SHINGLES = f"""
     SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-    FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS w FROM documents),
+    FROM (SELECT doc_id, regexp_split_to_array(text, '{_WS}') AS w FROM documents),
          LATERAL (SELECT unnest(generate_series(1, len(w)-2)) AS i) t
 """
 
@@ -218,7 +224,7 @@ def textops_oracles() -> dict[str, str]:
         "text_simhash": f"""
             WITH t AS (
               SELECT doc_id, {_H32.format(x='tok')} AS h
-              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS tok
+              FROM (SELECT doc_id, unnest(regexp_split_to_array(text, '{_WS}')) AS tok
                     FROM documents)),
             v AS (
               SELECT doc_id, b.i AS b,
@@ -340,7 +346,7 @@ def textops_oracles() -> dict[str, str]:
         """,
         "text_quality": f"""
             WITH w AS (SELECT doc_id, length(text) AS n_chars,
-                              regexp_split_to_array(text, '\\s+') AS words
+                              regexp_split_to_array(text, '{_WS}') AS words
                        FROM documents)
             SELECT doc_id, n_chars, len(words) AS n_tokens,
                    round(list_aggregate(list_transform(words,
@@ -366,7 +372,7 @@ def textops_oracles() -> dict[str, str]:
         """,
         "text_token_counts": f"""
             SELECT doc_id,
-                   len(regexp_split_to_array(text, '\\s+')) AS n_ws_tokens,
+                   len(regexp_split_to_array(text, '{_WS}')) AS n_ws_tokens,
                    len(regexp_extract_all(text, '{token_re}')) AS n_re_tokens
             FROM documents
         """,

@@ -204,6 +204,12 @@ WS_CLASS = ("\t\n\r\x0b\x0c \u0080-\u009f\u00a0\u1680"
 # /root/reference/stanza/models/tokenization/data.py:129) \u2014 they never
 # become token characters.
 
+# Whitespace-run splitter built from the literal class above.  Use this --
+# never `\s+` -- wherever BOTH engines must split identically: java's \s
+# includes \x0B, RE2's does not, and neither includes NBSP, so `\s+`
+# silently diverges across the Spark/DuckDB pair (ADVICE r2).
+WS_SPLIT_RE = f"[{WS_CLASS}]+"
+
 # URL/email token shapes: RE2+java.util.regex+python-re-compatible port of
 # the reference's URL_RAW_RE / EMAIL_RAW_RE
 # (/root/reference/stanza/models/tokenization/utils.py:199-205):

@@ -520,3 +520,79 @@ def test_merge_graph_edges_replay_and_crash_recovery(spark, tmp_path):
     got3 = {(r.subj_canon, r.pred, r.obj_canon): r.support
             for r in merged3.collect()}
     assert got3 == want
+
+
+def test_coref_propn_tiebreak_and_same_sentence(spark):
+    """(a) Representative rule follows the reference exactly
+    (coref_processor.py:135-162): longest in WORDS, length ties broken by
+    most PROPN, then earliest — 'Ben' (1 word, 1 PROPN) beats the LATER
+    but CHAR-LONGER pronoun 'They' (1 word, 0 PROPN); the old
+    longest-surface-chars rule would have picked 'They'.
+    (b) A PERSON in the pronoun's own sentence never serves as antecedent
+    (cross-sentence-only semantics, matching the DuckDB oracle)."""
+    from stanza_spark.operators.coref import coref_chains, resolve_pronouns
+    schema = ("url string, sent_id int, first_word_id int, mention string, "
+              "type string, entity_id string")
+    rows = [
+        # doc A: Ben ... They  -> chain rep must be 'Ben' via PROPN tiebreak
+        ("a", 0, 0, "Ben", "PERSON", "P1"),
+        ("a", 1, 0, "They", "PRON", None),
+        # doc B: PERSON and pronoun in the SAME sentence, nothing earlier
+        ("b", 0, 0, "Obama", "PERSON", "P0"),
+        ("b", 0, 3, "He", "PRON", None),
+        # doc C: PERSON in sent 0, pronoun in sent 1 -> resolves
+        ("c", 0, 0, "Curie", "PERSON", "P2"),
+        ("c", 1, 0, "She", "PRON", None),
+    ]
+    m = spark.createDataFrame(rows, schema)
+    chains = coref_chains(m).collect()
+    a_chain = [r for r in chains if r.url == "a"]
+    assert sorted(r.member for r in a_chain) == ["Ben", "They"]
+    assert all(r.representative == "Ben" for r in a_chain)
+    # doc B: same-sentence person is NOT an antecedent -> no chain forms
+    assert not [r for r in chains if r.url == "b"]
+    res = {(r.url, r.pronoun): r.antecedent_entity
+           for r in resolve_pronouns(m).collect()}
+    assert res[("b", "He")] is None       # same sentence: never
+    assert res[("c", "She")] == "P2"      # earlier sentence: yes
+
+
+def test_merge_ledger_survives_unledgered_merge(spark, tmp_path):
+    """ADVICE r2: a merge WITHOUT batch_id between two ledgered merges must
+    carry the ledger forward — replaying an already-merged batch afterwards
+    stays a no-op instead of double-counting support."""
+    from stanza_spark.operators.annotate import triples_narrow
+    from stanza_spark.operators.graph import merge_graph_edges
+    out = str(tmp_path / "graph_edges")
+    p = pages(spark, SF_SMOKE, with_html=False)
+    first = triples_narrow(p.filter(F.col("doc_id") % 2 == 0))
+    second = triples_narrow(p.filter(F.col("doc_id") % 2 == 1))
+    a = alias_df(spark)
+    merge_graph_edges(spark, out, first, a, batch_id="b0")
+    merge_graph_edges(spark, out, second, a)          # NO batch_id
+    want = {(r.subj_canon, r.pred, r.obj_canon): r.support
+            for r in spark.read.parquet(out).collect()}
+    merged = merge_graph_edges(spark, out, first, a, batch_id="b0")  # replay
+    got = {(r.subj_canon, r.pred, r.obj_canon): r.support
+           for r in merged.collect()}
+    assert got == want
+
+
+def test_langid_emoji_cleanup(spark):
+    """The reference strips emoji before langid (langid_processor.py:76-77,
+    via the `emoji` package); here a codepoint-range class does it in both
+    engines.  Emoji-laden text must vote exactly like its clean twin, and
+    the cleanup expression itself must blank the emoji runs."""
+    from stanza_spark.operators.textstats import langid, langid_clean_expr
+    df = spark.createDataFrame(
+        [(1, "\U0001F600\U0001F680 the cat was in ❤️ the house \U0001F389"),
+         (2, "the cat was in the house"),
+         (3, "\U0001F600\U0001F680\U0001F389 ✅ \U0001FAE0")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.lang_pred, r.score)
+           for r in langid(df, spark).collect()}
+    assert got[1] == got[2] == ("en", 4)
+    assert got[3] == ("und", 0)
+    cleaned = df.select(langid_clean_expr(F.col("text")).alias("c")) \
+                .collect()
+    assert all(not any(ord(ch) > 0x2500 for ch in r.c) for r in cleaned)

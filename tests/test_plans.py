@@ -124,8 +124,12 @@ def test_fuzzy_linking_plan_broadcasts_alias_grams(spark):
 
 
 def test_ivf_plan_broadcasts_centroids(spark):
-    """IVF ANN: centroid table and probe lists broadcast; the only
-    corpus-sized joins key on cent_id / neighbor_id."""
+    """IVF ANN plan shape (VERDICT r2 fix): list assignment is a narrow
+    higher-order argmax over the broadcast centroid array — the corpus is
+    NEVER hash-exchanged.  The only hashpartitioning Exchange in the whole
+    plan is the final per-query top-k window over candidate rows (plus the
+    SinglePartition exchange folding ≤n_centroids rows into the broadcast
+    array, which is centroid-sized, not corpus-sized)."""
     from stanza_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
     qids = emb.filter(F.col("vec_id") < 5) \
@@ -134,6 +138,11 @@ def test_ivf_plan_broadcasts_centroids(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+    # the corpus-side argmax must not exchange: no partitioning on the
+    # corpus key anywhere, and exactly one hashpartitioning exchange total
+    # (the final window on query_id)
+    assert "hashpartitioning(neighbor_id" not in p
+    assert p.count("hashpartitioning(query_id") == 1
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
