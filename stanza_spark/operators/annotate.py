@@ -635,8 +635,20 @@ def sentence_triples(words, mentions):
     return out
 
 
-def page_triples(url: str, lang: str, text: str):
-    """-> list of triple rows for one page (TRIPLES_SCHEMA order)."""
+def page_triples(url: str, lang: str, text: str, decoder: str = "grammar"):
+    """-> list of triple rows for one page (TRIPLES_SCHEMA order).
+
+    ``decoder='mst'`` swaps the fixed grammars for the general decode
+    kernels (operators.decode): Chu-Liu/Edmonds single-root MST over the
+    grammar-derived arc scores for depparse, Viterbi over the gazetteer
+    emissions for NER — byte-identical output on in-grammar sentences
+    (gate kg_triples_mst shares kg_triples' oracle), valid trees/tag
+    sequences on sentences the grammar degrades on."""
+    if decoder == "mst":
+        from .decode import parse_sentence_mst, tag_ner_viterbi
+        parse_fn, ner_fn = parse_sentence_mst, tag_ner_viterbi
+    else:
+        parse_fn, ner_fn = parse_sentence, tag_ner
     rows = []
     for sent_id, (_a, _b, toks) in enumerate(split_sentences(text)):
         words = []
@@ -645,28 +657,39 @@ def page_triples(url: str, lang: str, text: str):
                 upos, xpos, feats, lemma = tag_word(p)
                 words.append({"text": p, "upos": upos, "xpos": xpos,
                               "lemma": lemma})
-        _tags, mentions = tag_ner(words)
-        parse_sentence(words)
+        _tags, mentions = ner_fn(words)
+        parse_fn(words)
         for subj, pred, obj, st, ot in sentence_triples(words, mentions):
             rows.append((url, sent_id, subj, pred, obj, st, ot))
     return rows
 
 
-def _triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _make_triples_batches(decoder: str):
     cols = ["url", "sent_id", "subj", "pred", "obj", "subj_type", "obj_type"]
-    for pdf in batches:
-        out = []
-        for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
-            out.extend(page_triples(url, lang, text))
-        yield pd.DataFrame(out, columns=cols)
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
+                out.extend(page_triples(url, lang, text, decoder=decoder))
+            yield pd.DataFrame(out, columns=cols)
+    return _batches
 
 
-def triples_narrow(pages_df, en_only: bool = True):
-    """pages -> triples in one narrow Arrow pass (no shuffle anywhere)."""
+def _triples_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    yield from _make_triples_batches("grammar")(batches)
+
+
+def triples_narrow(pages_df, en_only: bool = True, decoder: str = "grammar"):
+    """pages -> triples in one narrow Arrow pass (no shuffle anywhere).
+    ``decoder='mst'`` runs the MST/Viterbi decode kernels instead of the
+    fixed grammars — same narrow plan, numpy per sentence inside the
+    Arrow batch."""
     df = pages_df.select("url", "lang", "text")
     if en_only:
         df = df.filter(df.lang == "en")
-    return df.mapInPandas(_triples_batches, schema=TRIPLES_SCHEMA)
+    return df.mapInPandas(_make_triples_batches(decoder),
+                          schema=TRIPLES_SCHEMA)
 
 
 def align_pretokenized(text: str, tokens: list[str]):

@@ -203,6 +203,18 @@ def q_kg_triples_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triples_narrow(pages(spark, sf_dir, with_html=False))
 
 
+def q_kg_triples_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics again via the GENERAL decode kernels
+    (operators.decode): Chu-Liu/Edmonds single-root MST over
+    grammar-derived arc scores + Viterbi over gazetteer BIOES emissions,
+    numpy inside the same narrow Arrow pass.  Shares kg_triples' oracle —
+    the decode path must reproduce the grammar parse byte-for-byte on
+    every in-grammar sentence (and, unlike the grammar, stays valid on
+    cyclic/non-projective/multi-verb inputs: tests/test_decode.py)."""
+    return triples_narrow(pages(spark, sf_dir, with_html=False),
+                          decoder="mst")
+
+
 def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialize fed by the narrow production plan (zero
     checkpoints; the relational triple path is separately gated via
@@ -262,6 +274,7 @@ KG_QUERIES = {
     "kg_links_fuzzy": q_kg_links_fuzzy,
     "kg_triples": q_kg_triples,
     "kg_triples_narrow": q_kg_triples_narrow,
+    "kg_triples_mst": q_kg_triples_mst,
     "kg_graph_edges": q_kg_graph_edges,
     "kg_words_routed": q_kg_words_routed,
     "kg_pos_lemma_de": q_kg_pos_lemma_de,
@@ -293,6 +306,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_links_fuzzy": gold_links_fuzzy_select(d),
         "kg_triples": gold_triples_select(d),
         "kg_triples_narrow": gold_triples_select(d),
+        "kg_triples_mst": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),
         "kg_words_routed": gold_words_routed_select(d),
         "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
