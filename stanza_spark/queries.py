@@ -18,7 +18,8 @@ from .synth import (
     gold_triples_select, gold_mentions_select, gold_pos_lemma_select,
     gold_links_select, gold_links_fuzzy_select, gold_graph_select,
     gold_components_select, gold_mentions_multi_select,
-    gold_constituency_select, gold_enhanced_deps_select, gold_coref_select,
+    gold_constituency_select, gold_enhanced_deps_select,
+    gold_deps_full_select, gold_coref_select,
     gold_words_routed_select, gold_pos_lemma_de_select,
 )
 from .sources.pages import pages
@@ -136,6 +137,19 @@ def q_kg_enhanced_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     oblique edges (obl:in / obl:to / obl:at) off verb roots."""
     from .operators.enhanced import enhanced_obl_edges
     return enhanced_obl_edges(_words(spark, sf_dir, cache=True))
+
+
+def q_kg_deps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL per-word dependency surface: (head, deprel) for every en
+    word plus the enhanced ``deps`` column (Word.deps analog,
+    doc.py:543-596) — value-checks the entire parse, not just the oblique
+    projection; the oracle is the grammar re-expressed as DuckDB window
+    functions (synth.gold_deps_full_select)."""
+    from .operators.enhanced import with_enhanced_deps
+    w = _words(spark, sf_dir, cache=True)
+    return with_enhanced_deps(w).select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "head", "deprel", "deps")
 
 
 def q_kg_morphseg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,6 +280,7 @@ KG_QUERIES = {
     "kg_lemma_ensemble": q_kg_lemma_ensemble,
     "kg_constituency": q_kg_constituency,
     "kg_enhanced_deps": q_kg_enhanced_deps,
+    "kg_deps_full": q_kg_deps_full,
     "kg_morphseg": q_kg_morphseg,
     "kg_sentiment": q_kg_sentiment,
     "kg_mentions": q_kg_mentions,
@@ -298,6 +313,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_lemma_ensemble": gold_pos_lemma_select(d),
         "kg_constituency": gold_constituency_select(d),
         "kg_enhanced_deps": gold_enhanced_deps_select(d),
+        "kg_deps_full": gold_deps_full_select(d),
         "kg_morphseg": _morphseg_oracle(d),
         "kg_sentiment": _sentiment_oracle(d),
         "kg_mentions": gold_mentions_select(d),

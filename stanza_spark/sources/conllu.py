@@ -19,28 +19,35 @@ FIELDS = ["id", "form", "lemma", "upos", "xpos", "feats",
           "head", "deprel", "deps", "misc"]
 
 
-def parse_conllu(text: str):
+def parse_conllu(text: str, ignore_gapping: bool = False):
     """CoNLL-U text -> list of sentence dicts
-    {doc_id, sentences: [{meta, comments, words, mwts}]}.  MWT ranges
-    (``n-m``) become the token grouping; empty nodes (``n.m``) are skipped
-    like the reference's gapping filter (conll.py:43-44).
+    {doc_id, sentences: [{meta, comments, words, mwts, empties}]}.  MWT
+    ranges (``n-m``) become the token grouping; empty (enhanced-only)
+    nodes (``n.m``, UD ellipsis) are KEPT as ``empties`` with tuple ids —
+    the reference's ``ignore_gapping=False`` path (conll.py:65-85,
+    Sentence.empty_words doc.py:782-801); pass ``ignore_gapping=True`` for
+    the reference's default drop-them behavior (conll.py:43-44).
 
     Comments are kept VERBATIM and in order (``comments``) in addition to
-    the parsed ``meta`` map, and MWT lines keep their full field set
-    (``mwts``: range -> cols), so ``render_parsed`` can reproduce the
-    reference's ``{:C}`` output byte-for-byte (the round-trip contract of
-    write_doc2conll, conll.py:204-216)."""
+    the parsed ``meta`` map, and MWT/empty lines keep their full field
+    sets, so ``render_parsed`` can reproduce the reference's ``{:C}``
+    output byte-for-byte — INCLUDING ellipsis nodes — (the round-trip
+    contract of write_doc2conll, conll.py:204-216)."""
     docs = []
     cur_doc = None
-    sent_words, sent_meta, sent_comments, sent_mwts = [], {}, [], []
+    sent_words, sent_meta, sent_comments = [], {}, []
+    sent_mwts, sent_empties = [], []
 
     def flush_sentence():
-        nonlocal sent_words, sent_meta, sent_comments, sent_mwts
+        nonlocal sent_words, sent_meta, sent_comments, sent_mwts, \
+            sent_empties
         if sent_words:
             cur_doc["sentences"].append(
                 {"meta": sent_meta, "comments": sent_comments,
-                 "words": sent_words, "mwts": sent_mwts})
-        sent_words, sent_meta, sent_comments, sent_mwts = [], {}, [], []
+                 "words": sent_words, "mwts": sent_mwts,
+                 "empties": sent_empties})
+        sent_words, sent_meta, sent_comments = [], {}, []
+        sent_mwts, sent_empties = [], []
 
     def new_doc(doc_id):
         nonlocal cur_doc
@@ -76,7 +83,11 @@ def parse_conllu(text: str):
             continue
         wid = cols[0]
         if "." in wid:
-            continue  # empty (enhanced-only) node
+            if not ignore_gapping:
+                a, b = wid.split(".", 1)
+                sent_empties.append({"anchor": int(a), "index": int(b),
+                                     "cols": cols})
+            continue
         if "-" in wid:
             a, b = wid.split("-")
             mwt_range, mwt_form = (int(a), int(b)), cols[1]
@@ -110,12 +121,21 @@ def render_parsed(docs, newdoc_comments: bool = False) -> str:
         for s in d["sentences"]:
             out.extend(s["comments"])
             mwt_at = {m["first"]: m for m in s["mwts"]}
+            empties_at = {}
+            for e in s.get("empties", ()):  # n.m prints after word n,
+                empties_at.setdefault(e["anchor"], []).append(e)  # m asc
+            # a 0.m node (ellipsis before the first word) prints first
+            for e in sorted(empties_at.get(0, []), key=lambda e: e["index"]):
+                out.append("\t".join(e["cols"]))
             for w in s["words"]:
                 if w["id"] in mwt_at:
                     out.append("\t".join(mwt_at[w["id"]]["cols"]))
                 out.append("\t".join(
                     str(w[f]) if f != "id" else str(w["id"])
                     for f in FIELDS))
+                for e in sorted(empties_at.get(w["id"], []),
+                                key=lambda e: e["index"]):
+                    out.append("\t".join(e["cols"]))
             out.append("")
     return "\n".join(out).rstrip("\n")
 
@@ -136,6 +156,28 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
         "url string, sent_id int, word_id int, is_mwt boolean, text string, "
         "lemma string, upos string, xpos string, feats string, head int, "
         "deprel string, misc string"))
+
+
+def read_conllu_empties(spark: SparkSession, path: str) -> DataFrame:
+    """Empty (enhanced-only) ellipsis nodes of a fixture as a relation:
+    (url, sent_id, anchor_id, empty_index, form, lemma, upos, xpos, feats,
+    deps, misc) — the Sentence.empty_words surface (doc.py:782-801) in the
+    natural relational shape; the node's CoNLL-U id is
+    ``anchor_id.empty_index`` and its DEPS column carries its enhanced
+    heads (empty nodes have no basic head by definition)."""
+    with open(path) as f:
+        docs = parse_conllu(f.read())
+    rows = []
+    for d in docs:
+        for sid, s in enumerate(d["sentences"]):
+            for e in s["empties"]:
+                c = e["cols"]
+                rows.append((d["doc_id"], sid, e["anchor"], e["index"],
+                             c[1], c[2], c[3], c[4], c[5], c[8], c[9]))
+    return spark.createDataFrame(rows, schema=(
+        "url string, sent_id int, anchor_id int, empty_index int, "
+        "text string, lemma string, upos string, xpos string, "
+        "feats string, deps string, misc string"))
 
 
 def escape_misc_space(space: str) -> str:

@@ -575,6 +575,115 @@ def gold_pos_lemma_select(d: Dialect) -> str:
     )
 
 
+def gold_deps_full_select(d: Dialect) -> str:
+    """(url, sent_id, word_id, word, head, deprel, deps) for lang='en' —
+    the FULL per-word dependency gold: the grammar's head/label rules
+    (operators.annotate.parse_sentence) re-expressed as DuckDB window
+    functions over the token stream, plus the enhanced ``deps`` column
+    (head:rel with the case-child lemma suffix on obliques, the Word.deps
+    analog, doc.py:543-596).  DuckDB dialect only — the Spark side runs
+    the real annotator + with_enhanced_deps."""
+    assert d.name == "duckdb"
+    vbn_roots = ", ".join(
+        d.str_lit(w) for w, (xpos, _l) in sorted(V.VERB_LEXICON.items())
+        if xpos == "VBN")
+    win = "PARTITION BY url, sent_id ORDER BY word_id"
+    prev = (f"OVER ({win} ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            f"1 PRECEDING)")
+    return f"""
+WITH w AS ({gold_pos_lemma_select(d)}),
+f AS (
+  SELECT *,
+    CASE WHEN upos IN ('NOUN','NUM','PRON','X') THEN 1
+         WHEN upos = 'PROPN'
+              AND coalesce(lag(upos) OVER ({win}), '') <> 'PROPN' THEN 1
+         ELSE 0 END AS is_ss
+  FROM w),
+g AS (
+  SELECT *,
+    max(CASE WHEN is_ss = 1 AND upos = 'PROPN' THEN word_id END)
+      OVER ({win}) AS run_start,
+    min(CASE WHEN is_ss = 1 THEN word_id END)
+      OVER ({win} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+      AS next_ss,
+    last_value(CASE WHEN upos NOT IN ('DET','ADJ') THEN word_id END
+               IGNORE NULLS) {prev} AS prev_nda_id,
+    last_value(CASE WHEN upos NOT IN ('DET','ADJ') THEN upos END
+               IGNORE NULLS) {prev} AS prev_nda_upos
+  FROM f),
+r AS (
+  SELECT url, sent_id,
+    coalesce(min(CASE WHEN upos = 'VERB' THEN word_id END),
+             min(CASE WHEN upos IN ('NOUN','PROPN','NUM','PRON','X')
+                      THEN word_id END),
+             1) AS root_id
+  FROM w GROUP BY url, sent_id),
+p AS (
+  SELECT g.url, g.sent_id,
+    max(CASE WHEN g.word_id = r.root_id
+             AND lower(g.word) IN ({vbn_roots}) THEN 1 ELSE 0 END)
+    * max(CASE WHEN g.upos = 'AUX' AND g.word_id < r.root_id
+               THEN 1 ELSE 0 END) AS passive,
+    max(CASE WHEN g.is_ss = 1 AND g.word_id < r.root_id
+             THEN g.word_id END) AS subj_id
+  FROM g JOIN r USING (url, sent_id) GROUP BY g.url, g.sent_id),
+h AS (
+  SELECT g.*, r.root_id, p.passive, p.subj_id,
+    CASE WHEN g.word_id = r.root_id THEN 0
+         WHEN g.upos = 'PROPN' AND g.is_ss = 0 THEN g.run_start
+         WHEN g.upos IN ('ADP','DET','ADJ')
+           THEN coalesce(g.next_ss, r.root_id)
+         WHEN g.upos = 'VERB' THEN 0
+         ELSE r.root_id END AS head,
+    CASE WHEN g.is_ss = 1 AND g.word_id > r.root_id
+              AND g.prev_nda_id IS NOT NULL
+              AND g.prev_nda_id > r.root_id
+              AND g.prev_nda_upos = 'ADP' THEN 1 ELSE 0 END AS is_obl
+  FROM g JOIN r USING (url, sent_id) JOIN p USING (url, sent_id)),
+o AS (
+  SELECT *,
+    CASE WHEN is_ss = 1 AND word_id > root_id AND is_obl = 0 THEN
+      row_number() OVER (PARTITION BY url, sent_id,
+        CASE WHEN is_ss = 1 AND word_id > root_id AND is_obl = 0
+             THEN 1 ELSE 0 END ORDER BY word_id) END AS obj_rank
+  FROM h),
+adp_case AS (
+  SELECT url, sent_id, next_ss AS case_head,
+         min(lower(word)) AS case_lemma
+  FROM g WHERE upos = 'ADP' AND next_ss IS NOT NULL
+  GROUP BY url, sent_id, next_ss),
+lab AS (
+  SELECT o.*, ac.case_lemma,
+    CASE WHEN o.word_id = o.root_id THEN 'root'
+         WHEN o.upos = 'PROPN' AND o.is_ss = 0 THEN 'flat'
+         WHEN o.upos = 'ADP' THEN
+           CASE WHEN o.next_ss IS NOT NULL THEN 'case' ELSE 'dep' END
+         WHEN o.upos = 'DET' THEN
+           CASE WHEN o.next_ss IS NOT NULL THEN 'det' ELSE 'dep' END
+         WHEN o.upos = 'ADJ' THEN
+           CASE WHEN o.next_ss IS NOT NULL THEN 'amod' ELSE 'dep' END
+         WHEN o.upos = 'AUX' THEN
+           CASE WHEN o.passive = 1 THEN 'aux:pass' ELSE 'aux' END
+         WHEN o.upos = 'PUNCT' THEN 'punct'
+         WHEN o.is_ss = 1 AND o.word_id < o.root_id THEN
+           CASE WHEN o.word_id = o.subj_id THEN
+             CASE WHEN o.passive = 1 THEN 'nsubj:pass' ELSE 'nsubj' END
+           ELSE 'dep' END
+         WHEN o.is_obl = 1 THEN 'obl'
+         WHEN o.obj_rank = 1 THEN
+           CASE WHEN o.passive = 1 THEN 'xcomp' ELSE 'obj' END
+         ELSE 'dep' END AS deprel
+  FROM o LEFT JOIN adp_case ac
+    ON o.url = ac.url AND o.sent_id = ac.sent_id
+   AND o.word_id = ac.case_head)
+SELECT url, sent_id, word_id, word, head, deprel,
+       CAST(head AS VARCHAR) || ':' ||
+       CASE WHEN deprel IN ('obl','nmod') AND case_lemma IS NOT NULL
+            THEN deprel || ':' || case_lemma ELSE deprel END AS deps
+FROM lab
+"""
+
+
 # ---------------------------------------------------------------------------
 # Linking / graph / components oracles.
 # ---------------------------------------------------------------------------
