@@ -164,11 +164,15 @@ def split_sentences(text: str):
 # MWT expansion (op 13)
 # ---------------------------------------------------------------------------
 
+_MWT_DICTS = {"de": V.DE_MWT_DICT, "fr": V.FR_MWT_DICT}
+
+
 def expand_token(tok: str, lang: str = "en"):
     """token text -> list of word texts (len>1 iff MWT); per-language MWT
-    dictionaries (German APPRART contractions: im -> in dem)."""
+    dictionaries (German APPRART contractions im -> in dem; French
+    preposition-article clitics du -> de le)."""
     lw = tok.lower()
-    mwt = V.DE_MWT_DICT if lang == "de" else V.MWT_DICT
+    mwt = _MWT_DICTS.get(lang, V.MWT_DICT)
     if lw in mwt:
         parts = mwt[lw]
         # preserve original casing on the first part
@@ -200,6 +204,17 @@ def tag_word(text: str, lang: str = "en"):
         if text[0].isupper():
             return ("NOUN", "NN", "_", text)
         return ("X", "XY", "_", text)
+    if lang == "fr":
+        if lw in V.FR_LEXICON:
+            return V.FR_LEXICON[lw]
+        if NUM_PAT.match(text):
+            return ("NUM", "NUM", "NumForm=Digit|NumType=Card", text)
+        if len(text) == 1 and not text.isalnum():
+            return ("PUNCT", "PUNCT", "_", text)
+        # French default: capitalized -> PROPN (names), else NOUN
+        if text[0].isupper():
+            return ("PROPN", "PROPN", "_", text)
+        return ("NOUN", "NOUN", "_", lw)
     if lw in V.VERB_LEXICON:
         xpos, lemma = V.VERB_LEXICON[lw]
         return ("VERB", xpos, V.VERB_FEATS[xpos], lemma)
@@ -288,7 +303,8 @@ def parse_sentence(words):
     root = next((i for i, w in enumerate(words) if w["upos"] == "VERB"), None)
     if root is None:
         root = next((i for i, w in enumerate(words) if w["upos"] in NOMINAL), 0)
-    passive = (words[root]["xpos"] in ("VBN", "VVPP")
+    # participle xpos per language: en VBN, de VVPP, fr VPP
+    passive = (words[root]["xpos"] in ("VBN", "VVPP", "VPP")
                and any(w["upos"] == "AUX" for w in words[:root]))
 
     # nominal spans; PROPN runs get flat-attached to their first word

@@ -290,7 +290,7 @@ def label_arcs(words, heads, root: int) -> list:
     n = len(words)
     rels = ["dep"] * n
     spans, run_head = _nominal_spans(words)
-    passive = (words[root]["xpos"] in ("VBN", "VVPP")
+    passive = (words[root]["xpos"] in ("VBN", "VVPP", "VPP")
                and any(w["upos"] == "AUX" for w in words[:root]))
     subj_spans = [s for s in spans
                   if s[0] < root and not (s[0] <= root <= s[1])]

@@ -21,11 +21,13 @@ from pyspark.sql import DataFrame, functions as F
 from .annotate import annotate
 from .tokenize_sql import sentences_from_pages, tokens_sql
 
-# two FULL languages: the per-language "models" are the en rule lexicons
-# and the de lexicon + APPRART MWT dict (vocab.DE_LEXICON/DE_MWT_DICT) —
-# German pages get real MWT expansion (im -> in dem), so the routed word
-# stream exercises tuple token ids corpus-wide
-FULL_PIPELINE_LANGS = ("en", "de")
+# three FULL languages: the per-language "models" are the en rule
+# lexicons, the de lexicon + APPRART MWT dict (im -> in dem) and the fr
+# lexicon + preposition-article clitic MWT dict (du -> de le,
+# test_french_pipeline.py golden shape) — both non-English corpora carry
+# real MWT expansions, so the routed word stream exercises tuple token
+# ids corpus-wide across two typologically different contraction systems
+FULL_PIPELINE_LANGS = ("en", "de", "fr")
 
 
 def route_and_annotate(pages_df: DataFrame,

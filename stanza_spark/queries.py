@@ -21,6 +21,7 @@ from .synth import (
     gold_constituency_select, gold_enhanced_deps_select,
     gold_deps_full_select, gold_coref_select,
     gold_words_routed_select, gold_pos_lemma_de_select,
+    gold_pos_lemma_fr_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -258,6 +259,18 @@ def q_kg_pos_lemma_de(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_mwt").cast("int").alias("is_mwt"))
 
 
+def q_kg_pos_lemma_fr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """French full-pipeline annotations (op 7 third language): lexicon
+    POS/feats/lemma + preposition-article clitic MWT (du -> de le, the
+    reference's French golden shape), value-checked per word."""
+    from .operators.multilingual import route_and_annotate
+    w = route_and_annotate(pages(spark, sf_dir, with_html=False))
+    return w.filter(F.col("lang") == "fr").select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "xpos", "feats", "lemma",
+        F.col("is_mwt").cast("int").alias("is_mwt"))
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide canonicalization via iterative connected components over
     the alias surfaces of corpus-observed entities."""
@@ -293,6 +306,7 @@ KG_QUERIES = {
     "kg_graph_edges": q_kg_graph_edges,
     "kg_words_routed": q_kg_words_routed,
     "kg_pos_lemma_de": q_kg_pos_lemma_de,
+    "kg_pos_lemma_fr": q_kg_pos_lemma_fr,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
 }
@@ -326,6 +340,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_graph_edges": gold_graph_select(d),
         "kg_words_routed": gold_words_routed_select(d),
         "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
+        "kg_pos_lemma_fr": gold_pos_lemma_fr_select(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),
     }

@@ -425,39 +425,49 @@ def gold_enhanced_deps_select(d: Dialect) -> str:
 # sentinel template instance (word positions are template constants).
 # ---------------------------------------------------------------------------
 
-def _de_word_pattern():
+# languages with a full pipeline config AND an MWT-bearing corpus
+# template: their routed word stream differs from the token stream
+MWT_LANGS = ("de", "fr")
+
+
+def _lang_word_pattern(lang: str):
     from .operators.annotate import annotate_sentences
-    parts, _ = V.NON_EN_TEMPLATES["de"]
+    parts, _ = V.NON_EN_TEMPLATES[lang]
     text = "".join("1111" if p == "Y" else p for p in parts)
-    sents = list(annotate_sentences(text, lang="de"))
+    sents = list(annotate_sentences(text, lang=lang))
     assert len(sents) == 1
     return sents[0][3]  # word dicts incl. upos/xpos/feats/lemma/token_id
 
 
 def gold_words_routed_select(d: Dialect) -> str:
     """(url, lang, sent_id, word_id, word): token stream everywhere except
-    de, where the MWT-expanded word stream applies."""
+    the MWT languages (de, fr), where the MWT-expanded word stream
+    applies."""
     toks = tokens_select(d)
-    non_de = (f"SELECT url, lang, sent_id, token_id AS word_id, "
-              f"token AS word FROM ({toks}) WHERE lang <> 'de'")
+    excl = ", ".join(d.str_lit(lang) for lang in MWT_LANGS)
+    non_mwt = (f"SELECT url, lang, sent_id, token_id AS word_id, "
+               f"token AS word FROM ({toks}) WHERE lang NOT IN ({excl})")
     inner = sentences_select(d)
     y = slot_expr(d, "Y", "sent_id")
     branches = []
-    for i, w in enumerate(_de_word_pattern()):
-        expr = y if w["text"] == "1111" else d.str_lit(w["text"])
-        branches.append(
-            f"SELECT url, lang, sent_id, {i + 1} AS word_id, {expr} AS word "
-            f"FROM ({inner}) WHERE lang = 'de'")
-    return non_de + " UNION ALL " + " UNION ALL ".join(branches)
+    for lang in MWT_LANGS:
+        for i, w in enumerate(_lang_word_pattern(lang)):
+            expr = y if w["text"] == "1111" else d.str_lit(w["text"])
+            branches.append(
+                f"SELECT url, lang, sent_id, {i + 1} AS word_id, "
+                f"{expr} AS word "
+                f"FROM ({inner}) WHERE lang = {d.str_lit(lang)}")
+    return non_mwt + " UNION ALL " + " UNION ALL ".join(branches)
 
 
-def gold_pos_lemma_de_select(d: Dialect) -> str:
+def _gold_pos_lemma_lang_select(d: Dialect, lang: str) -> str:
     """(url, sent_id, word_id, word, upos, xpos, feats, lemma, is_mwt)
-    for lang='de' — the German lexicon annotations as template constants."""
+    for one routed language — the lexicon annotations as template
+    constants (incl. live MWT expansion positions)."""
     inner = sentences_select(d)
     y = slot_expr(d, "Y", "sent_id")
     branches = []
-    for i, w in enumerate(_de_word_pattern()):
+    for i, w in enumerate(_lang_word_pattern(lang)):
         if w["text"] == "1111":
             word, lemma = y, y
         else:
@@ -467,8 +477,20 @@ def gold_pos_lemma_de_select(d: Dialect) -> str:
             f"{d.str_lit(w['upos'])} AS upos, {d.str_lit(w['xpos'])} AS xpos, "
             f"{d.str_lit(w['feats'])} AS feats, {lemma} AS lemma, "
             f"{1 if w['is_mwt'] else 0} AS is_mwt "
-            f"FROM ({inner}) WHERE lang = 'de'")
+            f"FROM ({inner}) WHERE lang = {d.str_lit(lang)}")
     return " UNION ALL ".join(branches)
+
+
+def gold_pos_lemma_de_select(d: Dialect) -> str:
+    return _gold_pos_lemma_lang_select(d, "de")
+
+
+def gold_pos_lemma_fr_select(d: Dialect) -> str:
+    """French full-pipeline gold: the clitic MWT expansion du -> de le
+    sits at fixed word positions (word 3 = 'de' ADP, word 4 = 'le' DET,
+    both is_mwt — the reference golden shape,
+    test_french_pipeline.py:55-80)."""
+    return _gold_pos_lemma_lang_select(d, "fr")
 
 
 def alias_values_cte(d: Dialect) -> str:

@@ -160,7 +160,11 @@ SENTIMENT_NEG = ["terrible", "criticized", "bad", "awful", "poor"]
 NON_EN_TEMPLATES = {
     "de": (["Der Bericht wurde im Jahr ", "Y", " veröffentlicht."], None),
     "es": (["El informe fue publicado en ", "Y", "."], None),
-    "fr": (["Le rapport a été publié en ", "Y", "."], None),
+    # fr carries the clitic contraction "du" -> "de le" (the reference's
+    # French MWT golden shape, test_french_pipeline.py:18,55-80) so the
+    # third full language exercises seq2seq-shaped MWT beyond the German
+    # APPRART dict.
+    "fr": (["Le rapport du ministère a été publié en ", "Y", "."], None),
     "zh": (["数据 报告 于 ", "Y", " 年 发布 。"], None),
 }
 
@@ -359,6 +363,38 @@ DE_MWT_DICT = {
     "im": ["in", "dem"],
     "zum": ["zu", "dem"],
     "vom": ["von", "dem"],
+}
+
+# --------------------------------------------------------------------------
+# French "model" (third full language, typologically distinct MWT shape:
+# preposition-article clitics, not verb contractions).  Annotations mirror
+# the reference's French golden (test_french_pipeline.py:55-80: du -> de
+# ADP + le DET with Definite=Def|Gender=Masc|Number=Sing|PronType=Art;
+# French UD ships no language-specific xpos, so xpos mirrors upos except
+# the participle tag VPP used by the passive rule).
+# Format: word(lower) -> (upos, xpos, feats, lemma).
+# --------------------------------------------------------------------------
+
+FR_LEXICON = {
+    "le": ("DET", "DET", "Definite=Def|Gender=Masc|Number=Sing|PronType=Art", "le"),
+    "les": ("DET", "DET", "Definite=Def|Number=Plur|PronType=Art", "le"),
+    "rapport": ("NOUN", "NOUN", "Gender=Masc|Number=Sing", "rapport"),
+    "de": ("ADP", "ADP", "_", "de"),
+    "à": ("ADP", "ADP", "_", "à"),
+    "ministère": ("NOUN", "NOUN", "Gender=Masc|Number=Sing", "ministère"),
+    "a": ("AUX", "AUX", "Mood=Ind|Number=Sing|Person=3|Tense=Pres|VerbForm=Fin", "avoir"),
+    "été": ("AUX", "AUX", "Tense=Past|VerbForm=Part", "être"),
+    "publié": ("VERB", "VPP", "Gender=Masc|Number=Sing|Tense=Past|VerbForm=Part|Voice=Pass", "publier"),
+    "en": ("ADP", "ADP", "_", "en"),
+}
+
+# preposition-article contractions (the reference's fr MWT expansions:
+# test_french_pipeline.py golden `du` -> (de, le); `aux` -> (à, les))
+FR_MWT_DICT = {
+    "du": ["de", "le"],
+    "des": ["de", "les"],
+    "au": ["à", "le"],
+    "aux": ["à", "les"],
 }
 
 # English stopwords for quality scoring / language-id heuristics.

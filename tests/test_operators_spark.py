@@ -234,12 +234,42 @@ def test_multilingual_routing(spark):
     by_lang = {r["lang"]: r["n"] for r in
                w.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(by_lang) == {"en", "de", "es", "fr", "zh"}
-    # full annotation exactly where a pipeline config exists (en + de)
-    assert w.filter("lang IN ('en', 'de') AND upos IS NULL").count() == 0
-    assert w.filter("lang NOT IN ('en', 'de') "
+    # full annotation exactly where a pipeline config exists (en, de, fr)
+    assert w.filter("lang IN ('en', 'de', 'fr') AND upos IS NULL").count() == 0
+    assert w.filter("lang NOT IN ('en', 'de', 'fr') "
                     "AND upos IS NOT NULL").count() == 0
-    # German rows carry real MWT expansions (im -> in dem)
+    # German and French rows carry real MWT expansions (im -> in dem,
+    # du -> de le)
     assert w.filter("lang = 'de' AND is_mwt").count() > 0
+    assert w.filter("lang = 'fr' AND is_mwt").count() > 0
+
+
+def test_french_mwt_golden():
+    """The reference's French clitic golden (test_french_pipeline.py:
+    55-80): 'du' expands to 'de' ADP + 'le' DET with the golden feats;
+    the passive chain 'a été publié' parses aux + aux:pass + root."""
+    from stanza_spark.operators.annotate import annotate_sentences
+    text = "Le rapport du ministère a été publié en 1999."
+    (_sid, _ss, _se, words), = annotate_sentences(text, lang="fr")
+    by = {w["text"]: w for w in words}
+    texts = [w["text"] for w in words]
+    assert texts == ["Le", "rapport", "de", "le", "ministère", "a", "été",
+                     "publié", "en", "1999", "."]
+    de, le = words[2], words[3]
+    assert de["is_mwt"] and le["is_mwt"]
+    assert de["token_id"] == le["token_id"]          # one surface token
+    assert (de["upos"], de["lemma"]) == ("ADP", "de")
+    assert (le["upos"], le["lemma"]) == ("DET", "le")
+    assert le["feats"] == "Definite=Def|Gender=Masc|Number=Sing|PronType=Art"
+    # both clitic parts attach forward to the governed noun (case/det)
+    min_id = texts.index("ministère") + 1
+    assert (de["head"], de["deprel"]) == (min_id, "case")
+    assert (le["head"], le["deprel"]) == (min_id, "det")
+    assert (by["publié"]["deprel"], by["publié"]["head"]) == ("root", 0)
+    assert by["a"]["deprel"] == "aux:pass"
+    # the grammar's subject rule is last-pre-root-span, so the
+    # case-marked 'ministère' (not 'rapport') lands nsubj:pass here
+    assert by["ministère"]["deprel"] == "nsubj:pass"
 
 
 def test_coref_lite_golden(spark):
