@@ -19,7 +19,7 @@ from .synth import (
     gold_links_select, gold_links_fuzzy_select, gold_graph_select,
     gold_components_select, gold_mentions_multi_select,
     gold_constituency_select, gold_enhanced_deps_select,
-    gold_deps_full_select, gold_coref_select,
+    gold_deps_full_select, gold_coref_select, gold_coref_chains_select,
     gold_words_routed_select, gold_pos_lemma_de_select,
     gold_pos_lemma_fr_select,
 )
@@ -131,6 +131,21 @@ def q_kg_coref(spark: SparkSession, sf_dir: str) -> DataFrame:
                                            "entity_id")),
         "alias_l", "left").drop("alias_l")
     return resolve_pronouns(coref_input(w, m))
+
+
+def q_kg_coref_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full coreference chains (op 20, the CorefChain surface): entity- or
+    surface-keyed member lists per document with the reference's
+    representative rule (longest-in-words, most-PROPN, earliest —
+    coref_processor.py:135-162)."""
+    from .operators.coref import coref_chains, coref_input
+    w = _words(spark, sf_dir, cache=True)
+    m = decode_mentions(w).withColumn("alias_l", F.lower("mention")).join(
+        F.broadcast(alias_df(spark).select(F.lower("alias").alias("alias_l"),
+                                           "entity_id")),
+        "alias_l", "left").drop("alias_l")
+    return coref_chains(coref_input(w, m)).select(
+        "url", "chain_id", "member", "sent_id", "representative")
 
 
 def q_kg_enhanced_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,6 +324,7 @@ KG_QUERIES = {
     "kg_pos_lemma_fr": q_kg_pos_lemma_fr,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
+    "kg_coref_chains": q_kg_coref_chains,
 }
 
 
@@ -343,4 +359,5 @@ def kg_oracles() -> dict[str, str]:
         "kg_pos_lemma_fr": gold_pos_lemma_fr_select(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),
+        "kg_coref_chains": gold_coref_chains_select(d),
     }

@@ -796,6 +796,51 @@ def gold_coref_select(d: Dialect) -> str:
             f"FROM ({resolved}) WHERE is_pron = 1")
 
 
+def gold_coref_chains_select(d: Dialect) -> str:
+    """(url, chain_id, member, sent_id, representative): per-document
+    coreference chains — the coref_chains operator's contract rebuilt
+    from the grammar.  Members = typed mentions keyed by entity id (or
+    lowercased surface when unlinked: years, corrupted PC names) plus
+    resolved pronouns joining their antecedent's chain; only chains with
+    >= 2 members emit; chain_id numbers the surviving keys in sorted
+    order per document; representative = longest member in words, PROPN
+    tiebreak, earliest (coref_processor.py:135-162 — pronouns carry zero
+    PROPN, so a 1-word name beats a 1-word pronoun regardless of
+    character length).  DuckDB dialect only."""
+    assert d.name == "duckdb"
+    m = gold_mentions_select(d)
+    a = alias_values_cte(d)
+    pron = gold_coref_select(d)
+    return f"""
+WITH m AS (
+  SELECT m.url, m.sent_id, m.mention,
+         coalesce(a.entity_id, lower(m.mention)) AS key
+  FROM ({m}) m
+  LEFT JOIN {a} a ON lower(m.mention) = lower(a.alias)),
+pron AS (
+  SELECT url, sent_id, pronoun AS mention, antecedent_entity AS key
+  FROM ({pron}) WHERE antecedent_entity IS NOT NULL),
+mem AS (
+  SELECT url, sent_id, mention, key FROM m
+  UNION ALL SELECT url, sent_id, mention, key FROM pron),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY url, key) AS n_members,
+         len(string_split(mention, ' ')) AS nw,
+         CASE WHEN lower(mention) IN ('he','she','it','they') THEN 0
+              ELSE len(string_split(mention, ' ')) END AS npropn
+  FROM mem),
+ranked AS (
+  SELECT *,
+    CAST(dense_rank() OVER (PARTITION BY url ORDER BY key) - 1 AS INT)
+      AS chain_id,
+    first_value(mention) OVER (PARTITION BY url, key
+      ORDER BY nw DESC, npropn DESC, sent_id, mention) AS representative
+  FROM sized WHERE n_members >= 2)
+SELECT url, chain_id, mention AS member, sent_id, representative
+FROM ranked
+"""
+
+
 def gold_graph_select(d: Dialect) -> str:
     t = gold_triples_select(d)
     a = alias_values_cte(d)
