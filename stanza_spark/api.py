@@ -10,10 +10,12 @@ raises PipelineRequirementsException *before* any execution — the static
 DAG check happening before Catalyst ever sees a plan.
 
 Execution is columnar: every requested processor's annotations are columns
-of the returned words DataFrame (the single narrow Arrow pass computes the
-full closure; unrequested annotation columns are nulled so the output
-surface matches the configured pipeline exactly, like a reference pipeline
-that never loaded those models).
+of the returned words DataFrame.  The configured processor set is threaded
+INTO the Arrow annotator (annotate_sentences ``processors``), so
+unrequested stages genuinely never execute — a tokenize-only pipeline pays
+no NER/depparse Python time, and without 'mwt' a contraction stays one
+word row, exactly like a reference pipeline that never loaded those
+models (reference contract: row counts match).
 """
 
 from __future__ import annotations
@@ -36,16 +38,6 @@ REQUIRES = {
     "ner": {"tokenize"},
     "morphseg": {"tokenize"},
 }
-
-# words-table columns produced by each processor
-_PROCESSOR_COLUMNS = {
-    "mwt": ["is_mwt"],
-    "pos": ["upos", "xpos", "feats"],
-    "lemma": ["lemma"],
-    "depparse": ["head", "deprel"],
-    "ner": ["ner"],
-}
-
 
 class PipelineRequirementsException(Exception):
     pass
@@ -94,13 +86,16 @@ class Pipeline:
 
     def process(self, docs) -> DataFrame:
         """str | list[str] | pages DataFrame -> words DataFrame with the
-        configured processors' columns (others nulled)."""
+        configured processors' columns (unrequested stages are skipped
+        inside the UDF, not computed-and-nulled)."""
         from .operators.annotate import annotate
         variant = ("pretokenized" if self.pretokenized
                    else "no_ssplit" if self.no_ssplit else None)
         pages = self._pages(docs)
+        procs = self.processors
         if variant == "pretokenized":
-            w = annotate(pages, en_only=False, pretokenized=True)
+            w = annotate(pages, en_only=False, pretokenized=True,
+                         processors=procs)
         elif variant == "no_ssplit":
             # route through the registered variant
             from .operators import annotate as A
@@ -112,7 +107,8 @@ class Pipeline:
                     for url, lng, text in zip(pdf["url"], pdf["lang"],
                                               pdf["text"]):
                         for sid, ss, se, words in A.annotate_sentences(
-                                text, variant="no_ssplit"):
+                                text, variant="no_ssplit",
+                                processors=procs):
                             for wi, wd in enumerate(words):
                                 out.append((url, lng, sid, ss, se,
                                             wd["token_id"], wi + 1,
@@ -127,12 +123,7 @@ class Pipeline:
             w = pages.select("url", "lang", "text").mapInPandas(
                 batches, schema=A.WORDS_SCHEMA)
         else:
-            w = annotate(pages, en_only=False)
-        # null out annotation columns of processors that were not requested
-        absent = [c for p, cols in _PROCESSOR_COLUMNS.items()
-                  if p not in self.processors for c in cols]
-        for c in absent:
-            w = w.withColumn(c, F.lit(None).cast(dict(w.dtypes)[c]))
+            w = annotate(pages, en_only=False, processors=procs)
         if "morphseg" in self.processors:
             from .operators.morphseg import segment_words
             w = segment_words(w)

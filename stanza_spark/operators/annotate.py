@@ -480,47 +480,78 @@ def register_tokenizer_variant(name: str, splitter) -> None:
 
 def annotate_sentences(text: str, pretokenized: bool = False,
                        max_token_len: int = MAX_TOKEN_LEN_DEFAULT,
-                       variant: str | None = None, lang: str = "en"):
+                       variant: str | None = None, lang: str = "en",
+                       processors=None):
     """Full per-sentence annotation: yields
     (sent_id, sent_start, sent_end, words) with words = the annotated
     dicts (token_id/is_mwt/text/start/end/upos/xpos/feats/lemma/head/
     deprel/ner) — the shared core of annotate_page and the CoNLL-U
     renderer.
 
+    ``processors`` (None = all) genuinely SKIPS unconfigured stages
+    instead of nulling their output after the fact — like a reference
+    pipeline that never loaded those models: without 'mwt' a contraction
+    stays ONE word row (the reference contract — row counts match a
+    pipeline without the mwt processor); without 'ner'/'depparse' the
+    taggers never run (asserted by monkeypatch in tests).  Dependency
+    validation is the facade's job (api.Pipeline REQUIRES).
+
     Tokens longer than ``max_token_len`` are replaced with ``<UNK>``
     before downstream tagging, the reference's GPU-memory guard
     (tokenize_processor.py:113-117); offsets keep the original span."""
+    procs = None if processors is None else frozenset(processors)
+
+    def has(p):
+        return procs is None or p in procs
+
     if variant is not None:
         splitter = TOKENIZER_VARIANTS[variant]
     else:
         splitter = split_pretokenized if pretokenized else split_sentences
+    tag = has("pos") or has("lemma")
     for sent_id, (s_start, s_end, toks) in enumerate(splitter(text)):
         words = []
         for t_i, (tok, a, b) in enumerate(toks):
             if len(tok) > max_token_len:
                 tok = TOKEN_TOO_LONG_REPLACEMENT
-            parts = expand_token(tok, lang)
+            parts = expand_token(tok, lang) if has("mwt") else [tok]
             is_mwt = len(parts) > 1
             for p in parts:
-                upos, xpos, feats, lemma = tag_word(p, lang)
+                if tag:
+                    upos, xpos, feats, lemma = tag_word(p, lang)
+                else:
+                    upos = xpos = feats = lemma = None
                 words.append({
                     "token_id": t_i + 1, "is_mwt": is_mwt, "text": p,
-                    "start": a, "end": b, "upos": upos, "xpos": xpos,
-                    "feats": feats, "lemma": lemma,
+                    "start": a, "end": b,
+                    "upos": upos if has("pos") else None,
+                    "xpos": xpos if has("pos") else None,
+                    "feats": feats if has("pos") else None,
+                    "lemma": lemma if has("lemma") else None,
                 })
-        tags, _ = tag_ner(words)
-        for w, tag in zip(words, tags):
-            w["ner"] = tag
-        parse_sentence(words)
+        if has("ner"):
+            tags, _ = tag_ner(words)
+            for w, t in zip(words, tags):
+                w["ner"] = t
+        else:
+            for w in words:
+                w["ner"] = None
+        if has("depparse"):
+            parse_sentence(words)
+        else:
+            for w in words:
+                w["head"] = None
+                w["deprel"] = None
         yield sent_id, s_start, s_end, words
 
 
 def annotate_page(url: str, lang: str, text: str,
-                  pretokenized: bool = False):
+                  pretokenized: bool = False, processors=None):
     """-> list of word-row tuples (WORD_COLUMNS order)."""
     rows = []
     for sent_id, s_start, s_end, words in annotate_sentences(
-            text, pretokenized=pretokenized, lang=lang):
+            text, pretokenized=pretokenized, lang=lang,
+            processors=processors):
         for w_i, w in enumerate(words):
             rows.append((
                 url, lang, sent_id, s_start, s_end,
@@ -531,25 +562,30 @@ def annotate_page(url: str, lang: str, text: str,
     return rows
 
 
-def _make_annotate_batches(pretokenized: bool):
+def _make_annotate_batches(pretokenized: bool, processors=None):
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
                 out.extend(annotate_page(url, lang, text,
-                                         pretokenized=pretokenized))
+                                         pretokenized=pretokenized,
+                                         processors=processors))
             yield pd.DataFrame(out, columns=WORD_COLUMNS)
     return _batches
 
 
-def annotate(pages_df, en_only: bool = True, pretokenized: bool = False):
+def annotate(pages_df, en_only: bool = True, pretokenized: bool = False,
+             processors=None):
     """pages(url, text, lang) -> flat words table via one narrow
     mapInPandas pass (zero shuffle).  ``pretokenized=True`` switches to
-    the whitespace/newline tokenization bypass (op 12)."""
+    the whitespace/newline tokenization bypass (op 12); ``processors``
+    (None = all) skips unconfigured stages inside the UDF — unrequested
+    annotators never execute (api.Pipeline threads its configured set
+    through here)."""
     df = pages_df.select("url", "lang", "text")
     if en_only:
         df = df.filter(df.lang == "en")
-    return df.mapInPandas(_make_annotate_batches(pretokenized),
+    return df.mapInPandas(_make_annotate_batches(pretokenized, processors),
                           schema=WORDS_SCHEMA)
 
 

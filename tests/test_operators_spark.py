@@ -626,3 +626,39 @@ def test_langid_emoji_cleanup(spark):
     cleaned = df.select(langid_clean_expr(F.col("text")).alias("c")) \
                 .collect()
     assert all(not any(ord(ch) > 0x2500 for ch in r.c) for r in cleaned)
+
+
+def test_facade_skips_unconfigured_stages(spark, monkeypatch):
+    """The configured processor set threads into the annotator: (a) NER
+    and depparse code NEVER runs for a tokenize,pos pipeline (monkeypatch
+    the taggers to raise — the reference analog of not loading the
+    model); (b) without 'mwt' a contraction stays ONE word row, matching
+    the reference pipeline's row-count contract (ADVICE r2, medium)."""
+    from stanza_spark.operators import annotate as A
+    from stanza_spark.api import Pipeline
+
+    def boom(*a, **k):
+        raise AssertionError("stage ran despite not being configured")
+
+    monkeypatch.setattr(A, "tag_ner", boom)
+    monkeypatch.setattr(A, "parse_sentence", boom)
+    sents = list(A.annotate_sentences("Obama can't visit Paris.",
+                                      processors={"tokenize", "pos"}))
+    words = sents[0][3]
+    assert [w["text"] for w in words] == ["Obama", "can't", "visit",
+                                          "Paris", "."]  # no mwt: one row
+    assert all(w["ner"] is None and w["head"] is None for w in words)
+    assert words[0]["upos"] == "PROPN"          # pos DID run
+    monkeypatch.undo()
+    # full pipeline still expands and annotates
+    full = list(A.annotate_sentences("Obama can't visit Paris."))
+    assert [w["text"] for w in full[0][3]] == ["Obama", "ca", "n't",
+                                               "visit", "Paris", "."]
+    # and through the Spark facade: row counts match the reference
+    # contract for a no-mwt pipeline
+    rows = Pipeline(spark, processors="tokenize,pos")("I can't go.").collect()
+    assert [r.text for r in rows] == ["I", "can't", "go", "."]
+    assert all(r.lemma is None and r.ner is None and r.head is None
+               for r in rows)
+    rows = Pipeline(spark)("I can't go.").collect()
+    assert [r.text for r in rows] == ["I", "ca", "n't", "go", "."]
