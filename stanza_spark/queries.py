@@ -245,6 +245,35 @@ def q_kg_triples_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
                           decoder="mst")
 
 
+def q_kg_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream parity gate (op 3): the corpus is drained through the
+    Structured Streaming path — file source in multiple micro-batches
+    (maxFilesPerTrigger=4 over 8 splits), foreachBatch running the SAME
+    batch operators, exactly-once batch_id sink, availableNow trigger —
+    and the drained output is checked against kg_triples' DuckDB oracle.
+    Proves the one-code-path batch/stream contract corpus-wide (the
+    round-2 gap: the stream was pytest-only)."""
+    import os
+    import shutil
+    import uuid
+
+    from .streaming.stream import stream_pages_to_triples
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = os.path.join(repo, "spark-warehouse",
+                        f"_stream_gate_{uuid.uuid4().hex[:8]}")
+    src, out, chk = f"{base}/in", f"{base}/out", f"{base}/chk"
+    pages(spark, sf_dir, with_html=False).repartition(8) \
+        .write.parquet(src)
+    q = stream_pages_to_triples(spark, src, out, chk)
+    q.awaitTermination(600)
+    result = spark.read.parquet(out).select(
+        "url", "sent_id", "subj", "pred", "obj", "subj_type", "obj_type"
+    ).localCheckpoint(eager=True)   # materialize, then drop the scratch dir
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph materialize fed by the narrow production plan (zero
     checkpoints; the relational triple path is separately gated via
@@ -318,6 +347,7 @@ KG_QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_triples_narrow": q_kg_triples_narrow,
     "kg_triples_mst": q_kg_triples_mst,
+    "kg_triples_stream": q_kg_triples_stream,
     "kg_graph_edges": q_kg_graph_edges,
     "kg_words_routed": q_kg_words_routed,
     "kg_pos_lemma_de": q_kg_pos_lemma_de,
@@ -353,6 +383,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples": gold_triples_select(d),
         "kg_triples_narrow": gold_triples_select(d),
         "kg_triples_mst": gold_triples_select(d),
+        "kg_triples_stream": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),
         "kg_words_routed": gold_words_routed_select(d),
         "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
