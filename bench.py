@@ -30,6 +30,7 @@ HEADLINE = [
     "kg_extract_text",
     "kg_tokens",
     "kg_triples",
+    "kg_triples_mst",
     "kg_graph_edges",
     "kg_links_fuzzy",
     "kg_constituency",

@@ -75,13 +75,21 @@ def _checksum(edges: DataFrame):
 
 def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
                          max_iter: int = 20,
-                         checkpoint: bool = True) -> DataFrame:
+                         checkpoint: bool = True,
+                         check_every: int = 2) -> DataFrame:
     """edges(src, dst) undirected (+ optional nodes(node) to keep
     singletons) -> (node, component_id) with component_id = min label.
 
     Raises RuntimeError if the star iteration has not converged after
     ``max_iter`` rounds (returning silently would hand wrong component ids
-    downstream); for arbitrary graphs max_iter=20 covers > 2^20 nodes."""
+    downstream); for arbitrary graphs max_iter=20 covers > 2^20 nodes.
+
+    The convergence checksum runs every ``check_every`` rounds (VERDICT r2:
+    halves the aggregate-job count on deep graphs).  Sound because the
+    star iteration's potential strictly decreases until the star forest is
+    reached and the converged forest is a fixed point — an edge set
+    repeating k rounds apart implies convergence, and the extra rounds run
+    on the already-converged (idempotent) forest."""
     cur = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -93,15 +101,16 @@ def connected_components(edges: DataFrame, nodes: DataFrame | None = None,
         cur = cur.localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
     converged = prev_sig[0] == 0
-    for _ in range(max_iter):
-        if converged:
-            break
+    i = 0
+    while i < max_iter and not converged:
         cur = _small_star(_large_star(cur))
         if checkpoint:
             cur = cur.localCheckpoint(eager=True)
-        sig = _checksum(cur)
-        converged = sig == prev_sig
-        prev_sig = sig
+        i += 1
+        if i % check_every == 0 or i == max_iter:
+            sig = _checksum(cur)
+            converged = sig == prev_sig
+            prev_sig = sig
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds")
