@@ -188,6 +188,33 @@ def lsh_dedup_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     )
 
 
+def dedup_clusters(df: DataFrame, threshold: float = 0.8, n: int = 3,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   n_bands: int = N_BANDS, k: int = N_HASHES) -> DataFrame:
+    """The full keep-one-per-cluster curation step:
+    LSH near-dup pairs -> connected components -> (doc_id, cluster_id,
+    keep) with cluster_id = min doc_id of the duplicate cluster and
+    keep = 1 exactly for that representative.
+
+    Scale shape: candidate pairs are LSH-banded (never all-pairs, bucket
+    sizes bounded), and transitive clustering is the O(log n)
+    large-star/small-star iteration (operators.canonicalize) — duplicate
+    chains (A~B~C where A and C share no band) still collapse into ONE
+    cluster, which a pairwise keep-min rule gets wrong.  This is the shape
+    that survives 100 TB: every stage is bounded joins + aggregations."""
+    from .canonicalize import connected_components
+
+    pairs = lsh_dedup_pairs(df, threshold, n, id_col, text_col, n_bands, k)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    nodes = df.select(F.col(id_col).alias("node"))
+    comps = connected_components(edges, nodes)
+    return comps.select(
+        F.col("node").alias("doc_id"),
+        F.col("component_id").alias("cluster_id"),
+        (F.col("node") == F.col("component_id")).cast("int").alias("keep"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """-> (doc_id, simhash): per-token 32-bit md5 hash, majority vote per

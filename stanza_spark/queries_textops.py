@@ -64,6 +64,13 @@ def q_minhash_signatures(spark, sf_dir):
         "doc_id", F.posexplode("sig").alias("seed", "minhash"))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Keep-one-per-duplicate-cluster: LSH pairs -> connected components
+    -> (doc_id, cluster_id, keep).  Oracle rebuilds the transitive
+    closure with a recursive CTE over the exact-Jaccard pairs."""
+    return D.dedup_clusters(_docs(spark, sf_dir), JACCARD_T)
+
+
 def q_simhash(spark, sf_dir):
     return D.simhash(_docs(spark, sf_dir))
 
@@ -127,6 +134,7 @@ TEXTOPS_QUERIES = {
     "text_dedup_exact": q_dedup_exact,
     "text_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_dedup_lsh_pairs": q_dedup_lsh_pairs,
+    "text_dedup_clusters": q_dedup_clusters,
     "text_minhash_signatures": q_minhash_signatures,
     "text_simhash": q_simhash,
     "text_ann_topk": q_ann_topk,
@@ -212,6 +220,26 @@ def textops_oracles() -> dict[str, str]:
         """,
         "text_dedup_ngram_jaccard": _JACCARD,
         "text_dedup_lsh_pairs": _JACCARD,  # LSH recall is 1.0 at this tau
+        # transitive closure of the dup pairs by recursive min-label
+        # propagation (terminates: finitely many (node, label) pairs, the
+        # UNION dedups); singletons keep their own id
+        "text_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_JACCARD}),
+            edges AS (
+              SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+            reach(node, label) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+            comp AS (SELECT node, min(label) AS cluster FROM reach
+                     GROUP BY node)
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster_id,
+                   CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS INT)
+                     AS keep
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
         "text_minhash_signatures": f"""
             WITH sh AS ({_SHINGLES}),
             h AS (SELECT doc_id, {_H32.format(x='shingle')} AS h32 FROM sh)

@@ -662,3 +662,51 @@ def test_facade_skips_unconfigured_stages(spark, monkeypatch):
                for r in rows)
     rows = Pipeline(spark)("I can't go.").collect()
     assert [r.text for r in rows] == ["I", "ca", "n't", "go", "."]
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B and B~C but NOT A~C (each edit pushes pairwise Jaccard below
+    tau for the far pair): pairwise keep-min would leave both A and C;
+    the connected-components clustering collapses the chain into one
+    cluster with a single survivor."""
+    from stanza_spark.operators.dedup import dedup_clusters, lsh_dedup_pairs
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu one "
+            "two three four").split()
+    a = " ".join(base)
+    b_words = list(base); b_words[3] = "DELTAX"          # one edit
+    b = " ".join(b_words)
+    c_words = list(b_words); c_words[20] = "VICTORX"     # second edit
+    c = " ".join(c_words)
+    d = "completely different text with no overlap at all whatsoever here"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, d)], "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_dedup_pairs(df, 0.8).collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert (1, 3) not in pairs                 # the chain link is indirect
+    got = {r.doc_id: (r.cluster_id, r.keep)
+           for r in dedup_clusters(df, 0.8).collect()}
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1)}
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    """IVF ANN on clustered vectors: recall@5 vs exact brute force >= 0.8
+    (the same recall contract the sign-LSH path carries)."""
+    import random
+    from stanza_spark.operators.similarity import cosine_topk, ivf_topk
+    rnd = random.Random(11)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = []
+    for i in range(200):
+        ctr = centers[i % 8]
+        rows.append((i, [x + rnd.uniform(-0.15, 0.15) for x in ctr]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = emb.filter(F.col("vec_id") < 20) \
+              .select(F.col("vec_id").alias("query_id"))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, qids, 5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
