@@ -215,6 +215,26 @@ def dedup_clusters(df: DataFrame, threshold: float = 0.8, n: int = 3,
         (F.col("node") == F.col("component_id")).cast("int").alias("keep"))
 
 
+def sentence_dedup(sentences: DataFrame) -> DataFrame:
+    """Sentence-level exact dedup across the whole corpus (the common
+    boilerplate-sentence removal pass): every (url, sent_id, text) row
+    keeps only the corpus-wide FIRST occurrence of its sentence text
+    (ordered by url, sent_id — engine-independent).  One shuffle on the
+    16-byte digest; group sizes = true sentence multiplicity (navigation
+    boilerplate is the hot case at web scale — bounded by the count
+    aggregate's map-side partials for the stats, and the keep decision is
+    a window over the digest partition).
+
+    -> (url, sent_id, text_hash, n_copies, keep)."""
+    h = sentences.select("url", "sent_id", F.md5("text").alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    wo = Window.partitionBy("text_hash").orderBy("url", "sent_id")
+    return (
+        h.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("keep", (F.row_number().over(wo) == 1).cast("int"))
+    )
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     """-> (doc_id, simhash): per-token 32-bit md5 hash, majority vote per

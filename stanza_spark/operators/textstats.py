@@ -125,6 +125,29 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def redact(df: DataFrame, id_col: str = "doc_id",
+           text_col: str = "text") -> DataFrame:
+    """Training-data PII hygiene pass: mask emails then URLs with typed
+    placeholder tokens (emails FIRST — their domain tails would otherwise
+    re-match the bare-domain URL form).  The regexes are the cross-engine
+    tokenizer classes (vocab.URL_RE / EMAIL_RE, the RE2+Java-safe ports of
+    the reference's MASK_RE, tokenization/utils.py:199-205), so the DuckDB
+    oracle applies the identical chain.  One narrow projection — nothing
+    shuffles.
+
+    -> (doc_id, redacted, n_emails, n_urls)."""
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(V.EMAIL_RE), 0))
+    masked_email = F.regexp_replace(text, V.EMAIL_RE, "<EMAIL>")
+    n_urls = F.size(F.regexp_extract_all(masked_email, F.lit(V.URL_RE), 0))
+    redacted = F.regexp_replace(masked_email, V.URL_RE, "<URL>")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted"),
+        n_emails.alias("n_emails"),
+        n_urls.alias("n_urls"))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3, k: int = 4) -> DataFrame:
     """-> (doc_id, fingerprint): k smallest md5 shingle digests joined —

@@ -16,7 +16,7 @@ from .operators import similarity as S
 from .operators import textstats as T
 from .operators import multimodal as M
 from .sources.pages import pages
-from .synth import Dialect, pages_select
+from .synth import Dialect, pages_select, sentences_select
 from . import vocab as V
 
 DUCK = Dialect("duckdb")
@@ -108,6 +108,21 @@ def q_embedding_nn(spark, sf_dir):
     return S.cosine_topk(emb, qids, 1)
 
 
+def q_dedup_sentences(spark, sf_dir):
+    """Corpus-wide sentence-level exact dedup (boilerplate removal)."""
+    from .operators.tokenize_sql import sentences_from_pages
+    p = pages(spark, sf_dir, with_html=False)
+    return D.sentence_dedup(
+        sentences_from_pages(p).select("url", "sent_id", "text"))
+
+
+def q_redact(spark, sf_dir):
+    """URL/email PII masking over the web-page corpus."""
+    p = pages(spark, sf_dir, with_html=False) \
+        .select(F.col("url").alias("doc_id"), "text")
+    return T.redact(p)
+
+
 def q_langid(spark, sf_dir):
     p = pages(spark, sf_dir, with_html=False) \
         .select(F.col("url").alias("doc_id"), "text")
@@ -135,6 +150,8 @@ TEXTOPS_QUERIES = {
     "text_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_dedup_lsh_pairs": q_dedup_lsh_pairs,
     "text_dedup_clusters": q_dedup_clusters,
+    "text_dedup_sentences": q_dedup_sentences,
+    "text_redact": q_redact,
     "text_minhash_signatures": q_minhash_signatures,
     "text_simhash": q_simhash,
     "text_ann_topk": q_ann_topk,
@@ -181,6 +198,11 @@ _JACCARD = f"""
 """
 
 _H32 = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+
+# SQL-literal-escaped redaction regexes (the cross-engine tokenizer
+# classes; DuckDB plain literals pass backslashes through verbatim)
+_EMAIL_SQL = V.EMAIL_RE.replace("'", "''")
+_URL_SQL = V.URL_RE.replace("'", "''")
 
 
 def _langid_clean_sql(expr: str) -> str:
@@ -239,6 +261,25 @@ def textops_oracles() -> dict[str, str]:
                    CAST(d.doc_id = coalesce(c.cluster, d.doc_id) AS INT)
                      AS keep
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        """,
+        "text_dedup_sentences": f"""
+            SELECT url, sent_id, md5(text) AS text_hash,
+                   count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+                   CAST(row_number() OVER (PARTITION BY md5(text)
+                        ORDER BY url, sent_id) = 1 AS INT) AS keep
+            FROM ({sentences_select(DUCK)})
+        """,
+        "text_redact": f"""
+            SELECT url AS doc_id,
+                   regexp_replace(regexp_replace(text, '{_EMAIL_SQL}',
+                       '<EMAIL>', 'g'), '{_URL_SQL}', '<URL>', 'g')
+                     AS redacted,
+                   len(regexp_extract_all(text, '{_EMAIL_SQL}'))
+                     AS n_emails,
+                   len(regexp_extract_all(regexp_replace(text,
+                       '{_EMAIL_SQL}', '<EMAIL>', 'g'), '{_URL_SQL}'))
+                     AS n_urls
+            FROM ({pages_select(DUCK)})
         """,
         "text_minhash_signatures": f"""
             WITH sh AS ({_SHINGLES}),
