@@ -481,12 +481,17 @@ def register_tokenizer_variant(name: str, splitter) -> None:
 def annotate_sentences(text: str, pretokenized: bool = False,
                        max_token_len: int = MAX_TOKEN_LEN_DEFAULT,
                        variant: str | None = None, lang: str = "en",
-                       processors=None):
+                       processors=None, decoder: str = "grammar"):
     """Full per-sentence annotation: yields
     (sent_id, sent_start, sent_end, words) with words = the annotated
     dicts (token_id/is_mwt/text/start/end/upos/xpos/feats/lemma/head/
     deprel/ner) — the shared core of annotate_page and the CoNLL-U
     renderer.
+
+    ``decoder='mst'`` swaps the fixed NER/depparse grammars for the
+    general decode kernels (operators.decode: single-root Chu-Liu/Edmonds
+    MST + Viterbi) — byte-identical on in-grammar sentences, valid
+    trees/tag sequences beyond them.
 
     ``processors`` (None = all) genuinely SKIPS unconfigured stages
     instead of nulling their output after the fact — like a reference
@@ -504,6 +509,11 @@ def annotate_sentences(text: str, pretokenized: bool = False,
     def has(p):
         return procs is None or p in procs
 
+    if decoder == "mst":
+        from .decode import parse_sentence_mst, tag_ner_viterbi
+        parse_fn, ner_fn = parse_sentence_mst, tag_ner_viterbi
+    else:
+        parse_fn, ner_fn = parse_sentence, tag_ner
     if variant is not None:
         splitter = TOKENIZER_VARIANTS[variant]
     else:
@@ -530,14 +540,14 @@ def annotate_sentences(text: str, pretokenized: bool = False,
                     "lemma": lemma if has("lemma") else None,
                 })
         if has("ner"):
-            tags, _ = tag_ner(words)
+            tags, _ = ner_fn(words)
             for w, t in zip(words, tags):
                 w["ner"] = t
         else:
             for w in words:
                 w["ner"] = None
         if has("depparse"):
-            parse_sentence(words)
+            parse_fn(words)
         else:
             for w in words:
                 w["head"] = None
@@ -546,12 +556,13 @@ def annotate_sentences(text: str, pretokenized: bool = False,
 
 
 def annotate_page(url: str, lang: str, text: str,
-                  pretokenized: bool = False, processors=None):
+                  pretokenized: bool = False, processors=None,
+                  decoder: str = "grammar"):
     """-> list of word-row tuples (WORD_COLUMNS order)."""
     rows = []
     for sent_id, s_start, s_end, words in annotate_sentences(
             text, pretokenized=pretokenized, lang=lang,
-            processors=processors):
+            processors=processors, decoder=decoder):
         for w_i, w in enumerate(words):
             rows.append((
                 url, lang, sent_id, s_start, s_end,
@@ -562,31 +573,35 @@ def annotate_page(url: str, lang: str, text: str,
     return rows
 
 
-def _make_annotate_batches(pretokenized: bool, processors=None):
+def _make_annotate_batches(pretokenized: bool, processors=None,
+                           decoder: str = "grammar"):
     def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for url, lang, text in zip(pdf["url"], pdf["lang"], pdf["text"]):
                 out.extend(annotate_page(url, lang, text,
                                          pretokenized=pretokenized,
-                                         processors=processors))
+                                         processors=processors,
+                                         decoder=decoder))
             yield pd.DataFrame(out, columns=WORD_COLUMNS)
     return _batches
 
 
 def annotate(pages_df, en_only: bool = True, pretokenized: bool = False,
-             processors=None):
+             processors=None, decoder: str = "grammar"):
     """pages(url, text, lang) -> flat words table via one narrow
     mapInPandas pass (zero shuffle).  ``pretokenized=True`` switches to
     the whitespace/newline tokenization bypass (op 12); ``processors``
     (None = all) skips unconfigured stages inside the UDF — unrequested
     annotators never execute (api.Pipeline threads its configured set
-    through here)."""
+    through here); ``decoder='mst'`` runs the MST/Viterbi kernels in
+    place of the fixed grammars (same narrow plan)."""
     df = pages_df.select("url", "lang", "text")
     if en_only:
         df = df.filter(df.lang == "en")
-    return df.mapInPandas(_make_annotate_batches(pretokenized, processors),
-                          schema=WORDS_SCHEMA)
+    return df.mapInPandas(
+        _make_annotate_batches(pretokenized, processors, decoder),
+        schema=WORDS_SCHEMA)
 
 
 FROM_TOKENS_SCHEMA = (

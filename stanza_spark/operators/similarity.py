@@ -135,9 +135,45 @@ def _cent_scores(vec_col: str):
             (-c["cent_id"]).alias("neg_id")))
 
 
+def kmeans_centroids(emb: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", n_centroids: int = 16,
+                     iters: int = 2, dim: int = 64) -> DataFrame:
+    """Deterministic Lloyd k-means over the corpus, pure DataFrame ops:
+    init = the ``n_centroids`` lowest-id vectors; each iteration assigns
+    every vector to its nearest centroid with the same zero-exchange
+    narrow argmax used by ivf_topk, then updates each centroid as the
+    per-dimension mean — expressed as ``dim`` algebraic `avg` aggregates
+    over the 16-group key (map-side partials absorb everything; NO
+    posexplode of the corpus ×dim).  Means are rounded to 9 decimals so
+    the result is reproducible across engines/partitionings (float
+    summation order); clusters that lose all members drop out, matching
+    the oracle.  -> (cent_id, cvec array<double>)."""
+    cent = emb.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+         .alias("cvec"))
+    for _ in range(iters):
+        carr = F.broadcast(
+            cent.agg(F.array_sort(F.collect_list(
+                F.struct("cent_id", "cvec"))).alias("cents")))
+        assign = (
+            emb.select(F.col(vec_col).alias("v"))
+            .crossJoin(carr)
+            .withColumn("best", F.array_max(_cent_scores("v")))
+            .select((-F.col("best.neg_id")).alias("cent_id"), "v")
+        )
+        cent = assign.groupBy("cent_id").agg(
+            F.array(*[
+                F.round(F.avg(F.element_at("v", i + 1)), 9)
+                for i in range(dim)
+            ]).alias("cvec"))
+    return cent
+
+
 def ivf_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             n_centroids: int = 16, n_probe: int = 4) -> DataFrame:
+             n_centroids: int = 16, n_probe: int = 4,
+             kmeans_iters: int = 0, dim: int = 64) -> DataFrame:
     """IVF-style ANN: a deterministic coarse quantizer (centroids = the
     ``n_centroids`` lowest-id corpus vectors — the seeded-k-means stand-in)
     partitions the corpus into inverted lists; each query probes its
@@ -156,12 +192,20 @@ def ivf_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     the tiny probe set against the assignment, and only
     (query_id, neighbor_id, cos_sim) enters the final ranking shuffle —
     the embedding payload never shuffles.  The only Exchange in the whole
-    plan is the final per-query top-k window over candidate rows."""
+    plan is the final per-query top-k window over candidate rows.
+
+    ``kmeans_iters > 0`` replaces the seeded quantizer with real Lloyd
+    iterations (kmeans_centroids) — the trained-IVF shape, same probe
+    plan."""
+    if kmeans_iters:
+        cent_src = kmeans_centroids(emb, id_col, vec_col, n_centroids,
+                                    kmeans_iters, dim)
+    else:
+        cent_src = emb.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
     cent = F.broadcast(
-        emb.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
-        .agg(F.array_sort(F.collect_list(F.struct("cent_id", "cvec")))
-             .alias("cents")))
+        cent_src.agg(F.array_sort(F.collect_list(
+            F.struct("cent_id", "cvec"))).alias("cents")))
 
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("nvec"))

@@ -148,6 +148,39 @@ def redact(df: DataFrame, id_col: str = "doc_id",
         n_urls.alias("n_urls"))
 
 
+def curation_flags(df: DataFrame, spark: SparkSession,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   lang: str = "en") -> DataFrame:
+    """The composite corpus-curation decision a training-data pipeline
+    applies per document: drop exact duplicates (keep first), drop
+    documents whose predicted language isn't ``lang``, drop low-quality
+    documents — in that precedence; survivors get reason 'ok'.
+
+    -> (doc_id, reason in {duplicate, lang, quality, ok}, keep).
+
+    Shape: three corpus passes (digest window, stopword-vote aggregate,
+    narrow quality projection) joined back on the document key — each
+    pass is one of the already-gated primitives, so the composite is
+    exactly as scale-safe as its parts; the doc_id joins are co-located
+    once the corpus is bucketed by document key (plans/pipeline.py)."""
+    from .dedup import exact_dedup
+
+    uniq = exact_dedup(df, id_col, text_col) \
+        .select("doc_id", F.col("keep").alias("uniq"))
+    lp = langid(df, spark, id_col, text_col).select("doc_id", "lang_pred")
+    qb = quality_scores(df, spark, id_col, text_col) \
+        .select("doc_id", "quality_bucket")
+    j = uniq.join(lp, "doc_id").join(qb, "doc_id")
+    reason = (
+        F.when(~F.col("uniq"), F.lit("duplicate"))
+        .when(F.col("lang_pred") != lang, F.lit("lang"))
+        .when(F.col("quality_bucket") == "low", F.lit("quality"))
+        .otherwise(F.lit("ok")))
+    return j.select(
+        "doc_id", reason.alias("reason"),
+        (reason == "ok").cast("int").alias("keep"))
+
+
 def fingerprints(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text", n: int = 3, k: int = 4) -> DataFrame:
     """-> (doc_id, fingerprint): k smallest md5 shingle digests joined —

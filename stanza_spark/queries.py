@@ -168,6 +168,19 @@ def q_kg_deps_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head", "deprel", "deps")
 
 
+def q_kg_deps_full_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME full per-word dependency surface through the general
+    decode kernels (annotate(decoder='mst'): Chu-Liu/Edmonds + Viterbi
+    in place of the fixed grammars) — the decode path is value-checked
+    word-by-word, not just at the triple projection."""
+    from .operators.enhanced import with_enhanced_deps
+    w = annotate(pages(spark, sf_dir, with_html=False), decoder="mst") \
+        .localCheckpoint(eager=True)
+    return with_enhanced_deps(w).select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "head", "deprel", "deps")
+
+
 def q_kg_morphseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morphological segmentation (op 21): deterministic affix grammar as
     a pure Catalyst expression over the word stream."""
@@ -338,6 +351,7 @@ KG_QUERIES = {
     "kg_constituency": q_kg_constituency,
     "kg_enhanced_deps": q_kg_enhanced_deps,
     "kg_deps_full": q_kg_deps_full,
+    "kg_deps_full_mst": q_kg_deps_full_mst,
     "kg_morphseg": q_kg_morphseg,
     "kg_sentiment": q_kg_sentiment,
     "kg_mentions": q_kg_mentions,
@@ -374,6 +388,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_constituency": gold_constituency_select(d),
         "kg_enhanced_deps": gold_enhanced_deps_select(d),
         "kg_deps_full": gold_deps_full_select(d),
+        "kg_deps_full_mst": gold_deps_full_select(d),
         "kg_morphseg": _morphseg_oracle(d),
         "kg_sentiment": _sentiment_oracle(d),
         "kg_mentions": gold_mentions_select(d),

@@ -96,6 +96,16 @@ def q_ann_ivf(spark, sf_dir):
     return S.ivf_topk(emb, qids, ANN_K)
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """Trained-quantizer IVF: two deterministic Lloyd iterations (narrow
+    argmax assignment + 64 algebraic avg aggregates per round) before the
+    probe — the oracle replays the identical iterations in DuckDB."""
+    emb = _emb(spark, sf_dir)
+    qids = emb.filter(F.col("vec_id") < ANN_QUERIES) \
+              .select(F.col("vec_id").alias("query_id"))
+    return S.ivf_topk(emb, qids, ANN_K, kmeans_iters=2)
+
+
 def q_embedding_nn(spark, sf_dir):
     """Nearest neighbor for EVERY vector (embedding-cosine near-dup
     primitive: dup candidates = pairs whose NN similarity clears a
@@ -121,6 +131,13 @@ def q_redact(spark, sf_dir):
     p = pages(spark, sf_dir, with_html=False) \
         .select(F.col("url").alias("doc_id"), "text")
     return T.redact(p)
+
+
+def q_curation_keep(spark, sf_dir):
+    """Composite per-document curation decision over the page corpus."""
+    p = pages(spark, sf_dir, with_html=False) \
+        .select(F.col("url").alias("doc_id"), "text")
+    return T.curation_flags(p, spark)
 
 
 def q_langid(spark, sf_dir):
@@ -157,7 +174,9 @@ TEXTOPS_QUERIES = {
     "text_ann_topk": q_ann_topk,
     "text_ann_signlsh": q_ann_signlsh,
     "text_ann_ivf": q_ann_ivf,
+    "text_ann_ivf_kmeans": q_ann_ivf_kmeans,
     "text_embedding_nn": q_embedding_nn,
+    "text_curation_keep": q_curation_keep,
     "text_langid": q_langid,
     "text_quality": q_quality,
     "text_token_counts": q_token_counts,
@@ -379,6 +398,72 @@ def textops_oracles() -> dict[str, str]:
             FROM s
             QUALIFY rank <= {ANN_K}
         """,
+        "text_ann_ivf_kmeans": f"""
+            WITH cent0 AS (
+              SELECT vec_id AS cent_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE))
+                       AS cvec
+              FROM embeddings WHERE vec_id < 16),
+            a1 AS (
+              SELECT v_id, cent_id FROM (
+                SELECT e.vec_id AS v_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_expr('e.embedding', 'c.cvec')} DESC,
+                                  c.cent_id) AS rn
+                FROM embeddings e, cent0 c) WHERE rn = 1),
+            cent1 AS (
+              SELECT cent_id, list(av ORDER BY i) AS cvec FROM (
+                SELECT a.cent_id, s.i,
+                       round(avg(CAST(e.embedding[s.i] AS DOUBLE)), 9) AS av
+                FROM a1 a JOIN embeddings e ON e.vec_id = a.v_id,
+                     (SELECT unnest(generate_series(1, 64)) AS i) s
+                GROUP BY a.cent_id, s.i) GROUP BY cent_id),
+            a2 AS (
+              SELECT v_id, cent_id FROM (
+                SELECT e.vec_id AS v_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_expr('e.embedding', 'c.cvec')} DESC,
+                                  c.cent_id) AS rn
+                FROM embeddings e, cent1 c) WHERE rn = 1),
+            cent2 AS (
+              SELECT cent_id, list(av ORDER BY i) AS cvec FROM (
+                SELECT a.cent_id, s.i,
+                       round(avg(CAST(e.embedding[s.i] AS DOUBLE)), 9) AS av
+                FROM a2 a JOIN embeddings e ON e.vec_id = a.v_id,
+                     (SELECT unnest(generate_series(1, 64)) AS i) s
+                GROUP BY a.cent_id, s.i) GROUP BY cent_id),
+            assign AS (
+              SELECT v_id AS neighbor_id, cent_id FROM (
+                SELECT e.vec_id AS v_id, c.cent_id,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_expr('e.embedding', 'c.cvec')} DESC,
+                                  c.cent_id) AS rn
+                FROM embeddings e, cent2 c) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cent_id FROM (
+                SELECT qe.vec_id AS query_id, c.cent_id,
+                       row_number() OVER (PARTITION BY qe.vec_id
+                         ORDER BY {cos_expr('qe.embedding', 'c.cvec')} DESC,
+                                  c.cent_id) AS rn
+                FROM embeddings qe, cent2 c
+                WHERE qe.vec_id < {ANN_QUERIES}) WHERE rn <= 4),
+            cand AS (
+              SELECT DISTINCT p.query_id, a.neighbor_id
+              FROM probes p JOIN assign a USING (cent_id)
+              WHERE a.neighbor_id != p.query_id),
+            s AS (
+              SELECT c.query_id, c.neighbor_id, {cos} AS cos
+              FROM cand c
+              JOIN (SELECT vec_id, embedding AS qvec FROM embeddings) q
+                ON q.vec_id = c.query_id
+              JOIN embeddings e ON e.vec_id = c.neighbor_id)
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS INT) AS rank,
+                   neighbor_id, round(cos, 6) AS cos_sim
+            FROM s
+            QUALIFY rank <= {ANN_K}
+        """,
         "text_embedding_nn": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
                        FROM embeddings),
@@ -391,6 +476,51 @@ def textops_oracles() -> dict[str, str]:
                    neighbor_id, round(cos, 6) AS cos_sim
             FROM s
             QUALIFY rank <= 1
+        """,
+        "text_curation_keep": f"""
+            WITH stop(lang_cand, word) AS (VALUES {stop_rows}),
+            p AS (SELECT url AS doc_id, text FROM ({pages_select(DUCK)})),
+            dd AS (SELECT doc_id,
+                     (min(doc_id) OVER (PARTITION BY md5(text)) = doc_id)
+                       AS uniq FROM p),
+            cl AS (SELECT doc_id, {_langid_clean_sql('text')} AS ctext
+                   FROM p),
+            toks AS (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(ctext),
+                         '[^\\p{{L}}]+')) AS word FROM cl),
+            hits AS (SELECT doc_id, lang_cand, count(*) AS score
+                     FROM toks JOIN stop USING (word)
+                     WHERE word != '' GROUP BY 1, 2),
+            best AS (SELECT doc_id, lang_cand AS lang_pred,
+                       row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, lang_cand) AS rn FROM hits),
+            lng AS (SELECT p.doc_id,
+                      coalesce(b.lang_pred, 'und') AS lang_pred
+                    FROM p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+                      ON p.doc_id = b.doc_id),
+            w AS (SELECT doc_id,
+                    regexp_split_to_array(text, '{_WS}') AS words FROM p),
+            qual AS (SELECT doc_id,
+                CASE WHEN len(words) >= 20
+                      AND len(list_filter(words,
+                            x -> regexp_full_match(x, '[A-Za-z]+')))
+                          / CAST(greatest(len(words), 1) AS DOUBLE) >= 0.8
+                      AND len(list_filter(words,
+                            x -> lower(x) IN ({en_stop})))
+                          / CAST(greatest(len(words), 1) AS DOUBLE) >= 0.05
+                     THEN 'high'
+                     WHEN len(words) >= 10 THEN 'medium'
+                     ELSE 'low' END AS quality_bucket
+                FROM w)
+            SELECT dd.doc_id,
+                   CASE WHEN NOT dd.uniq THEN 'duplicate'
+                        WHEN lng.lang_pred <> 'en' THEN 'lang'
+                        WHEN qual.quality_bucket = 'low' THEN 'quality'
+                        ELSE 'ok' END AS reason,
+                   CAST(dd.uniq AND lng.lang_pred = 'en'
+                        AND qual.quality_bucket <> 'low' AS INT) AS keep
+            FROM dd JOIN lng ON dd.doc_id = lng.doc_id
+                    JOIN qual ON dd.doc_id = qual.doc_id
         """,
         "text_langid": f"""
             WITH stop(lang_cand, word) AS (VALUES {stop_rows}),

@@ -710,3 +710,31 @@ def test_ivf_recall_vs_brute_force(spark):
               for r in ivf_topk(emb, qids, 5).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall:.3f} < 0.8"
+
+
+def test_kmeans_ivf_trains_and_recalls(spark):
+    """Lloyd-trained IVF: centroids move off the seed vectors, cluster
+    count stays <= n_centroids, and recall@5 on clustered data >= 0.8."""
+    import random
+    from stanza_spark.operators.similarity import (cosine_topk, ivf_topk,
+                                                   kmeans_centroids)
+    rnd = random.Random(23)
+    centers = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(8)]
+    rows = [(i, [x + rnd.uniform(-0.15, 0.15) for x in centers[i % 8]])
+            for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_centroids(emb, n_centroids=16, iters=2, dim=16).collect()
+    assert 0 < len(cents) <= 16
+    seed_vecs = {tuple(round(x, 9) for x in r[1]) for r in rows[:16]}
+    moved = [c for c in cents
+             if tuple(round(x, 9) for x in c.cvec) not in seed_vecs]
+    assert moved                                  # training really happened
+    qids = emb.filter(F.col("vec_id") < 20) \
+              .select(F.col("vec_id").alias("query_id"))
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, qids, 5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk(emb, qids, 5, kmeans_iters=2,
+                                dim=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"k-means IVF recall {recall:.3f} < 0.8"
