@@ -57,6 +57,52 @@ def salted_support(triples: DataFrame, aliases: DataFrame,
     )
 
 
+def pagerank(edges: DataFrame, iters: int = 5,
+             damping: float = 0.85, checkpoint: bool = True) -> DataFrame:
+    """Entity importance over the KG: the classic unnormalized power
+    iteration  r(v) = (1-d) + d * Σ_{u->v} r(u)/outdeg(u), a fixed
+    ``iters`` rounds (deterministic — no convergence tolerance on floats).
+    Dangling nodes keep rank but donate nothing (the standard simplified
+    variant).  Per-iteration ranks round to 9 decimals so the result is
+    bit-reproducible across engines and partitionings (same device as the
+    k-means centroid means); the DuckDB oracle unrolls the identical
+    iterations.
+
+    Shape: one distinct + degree aggregate up front; each round is one
+    join of the edge list to the current rank vector on the source key
+    plus one sum aggregate on the destination key — both map-side
+    combinable; lineage truncated per round.  -> (node, rank to 6 dp)."""
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")) \
+        .distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = e.join(deg, "src")
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))).distinct()
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0).alias("r"))
+    # round the base so the SQL-literal twin parses to the same double
+    base = F.lit(round(1.0 - damping, 12))
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select(F.col("dst").alias("node"),
+                    (F.col("r") / F.col("deg")).alias("c"))
+            .groupBy("node").agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select("node",
+                    F.round(base + damping * F.coalesce("inflow", F.lit(0.0)),
+                            9).alias("r"))
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", F.round("r", 6).alias("rank"))
+
+
 def _recover_merge_dirs(existing_dir: str) -> None:
     """Crash recovery for the swap protocol below.  Invariant: at every
     instant at least one of existing/backup holds a complete committed

@@ -55,3 +55,26 @@ def route_and_annotate(pages_df: DataFrame,
         F.lit(None).cast("string").alias("ner"),
     )
     return full.unionByName(rest)
+
+
+def route_by_langid(pages_df: DataFrame, spark,
+                    full_langs=FULL_PIPELINE_LANGS) -> DataFrame:
+    """The reference MultilingualPipeline's ACTUAL routing semantics
+    (multilingual.py:141-146): language id runs FIRST and routing follows
+    the PREDICTION — the input's lang column (if any) is ignored.  Pages
+    whose predicted language has a full config get full annotation; the
+    rest (including 'und' — e.g. scripts with no stopword model) get
+    tokenize-only.  The returned ``lang`` column is the prediction.
+
+    Shape: the stopword-vote langid aggregate, then one join of the page
+    corpus to its per-document prediction on the document key (co-located
+    once the corpus is bucketed by url, plans/pipeline.py), then the same
+    disjoint narrow routing branches as route_and_annotate."""
+    from .textstats import langid
+
+    p = pages_df.select("url", "text")
+    pred = langid(p.select(F.col("url").alias("doc_id"), "text"),
+                  spark).select(F.col("doc_id").alias("url"),
+                                F.col("lang_pred").alias("lang"))
+    routed = p.join(pred, "url")
+    return route_and_annotate(routed, full_langs)

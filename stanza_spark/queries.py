@@ -295,6 +295,19 @@ def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_graph(t, alias_df(spark))
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity importance over the materialized KG: 5 deterministic
+    PageRank power iterations (per-round 9-dp rounding for cross-engine
+    bit stability); the oracle unrolls the identical iterations over the
+    grammar-derived graph."""
+    from .operators.graph import pagerank
+    t = triples_narrow(pages(spark, sf_dir, with_html=False))
+    g = materialize_graph(t, alias_df(spark))
+    edges = g.select(F.col("subj_canon").alias("src"),
+                     F.col("obj_canon").alias("dst"))
+    return pagerank(edges)
+
+
 def q_kg_words_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual routing (op 7): FULL annotation for en and de
     (per-language lexicon models; German pages carry real MWT expansions
@@ -314,6 +327,18 @@ def q_kg_pos_lemma_de(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "sent_id", "word_id", F.col("text").alias("word"),
         "upos", "xpos", "feats", "lemma",
         F.col("is_mwt").cast("int").alias("is_mwt"))
+
+
+def q_kg_words_routed_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing driven by the langid PREDICTION (the reference
+    MultilingualPipeline's real semantics, multilingual.py:141-146) — on
+    this corpus the vote is correct for every stopword-modelled language
+    and 'und' for zh, so the oracle is the routed gold with that exact
+    lang mapping."""
+    from .operators.multilingual import route_by_langid
+    w = route_by_langid(pages(spark, sf_dir, with_html=False), spark)
+    return w.select("url", "lang", "sent_id", "word_id",
+                    F.col("text").alias("word"))
 
 
 def q_kg_pos_lemma_fr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,13 +388,40 @@ KG_QUERIES = {
     "kg_triples_mst": q_kg_triples_mst,
     "kg_triples_stream": q_kg_triples_stream,
     "kg_graph_edges": q_kg_graph_edges,
+    "kg_pagerank": q_kg_pagerank,
     "kg_words_routed": q_kg_words_routed,
+    "kg_words_routed_pred": q_kg_words_routed_pred,
     "kg_pos_lemma_de": q_kg_pos_lemma_de,
     "kg_pos_lemma_fr": q_kg_pos_lemma_fr,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
     "kg_coref_chains": q_kg_coref_chains,
 }
+
+
+def _pagerank_oracle(d: Dialect, iters: int = 5,
+                     damping: float = 0.85) -> str:
+    """Unrolled power-iteration twin of operators.graph.pagerank over the
+    grammar-derived graph (correlated inflow subquery per node — the
+    oracle favors obvious-correctness over plan quality)."""
+    g = gold_graph_select(d)
+    base = repr(round(1.0 - damping, 12))
+    parts = [
+        ("e AS (SELECT DISTINCT subj_canon AS src, obj_canon AS dst "
+         f"FROM ({g}) WHERE subj_canon <> obj_canon)"),
+        "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f"r{k} AS (SELECT n.node, round({base} + {damping} * "
+            f"coalesce((SELECT sum(p.r / dg.deg) FROM e "
+            f"JOIN r{k - 1} p ON p.node = e.src "
+            f"JOIN deg dg ON dg.src = e.src "
+            f"WHERE e.dst = n.node), 0), 9) AS r FROM nodes n)")
+    return ("WITH " + ",\n".join(parts) +
+            f" SELECT node, round(r, 6) AS rank FROM r{iters}")
 
 
 def kg_oracles() -> dict[str, str]:
@@ -400,7 +452,14 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples_mst": gold_triples_select(d),
         "kg_triples_stream": gold_triples_select(d),
         "kg_graph_edges": gold_graph_select(d),
+        "kg_pagerank": _pagerank_oracle(d),
         "kg_words_routed": gold_words_routed_select(d),
+        # predicted lang == actual wherever a stopword model exists; the
+        # stopword-less script (zh) votes 'und'
+        "kg_words_routed_pred": (
+            "SELECT url, CASE WHEN lang = 'zh' THEN 'und' ELSE lang END "
+            "AS lang, sent_id, word_id, word "
+            f"FROM ({gold_words_routed_select(d)})"),
         "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
         "kg_pos_lemma_fr": gold_pos_lemma_fr_select(d),
         "kg_components": gold_components_select(d),

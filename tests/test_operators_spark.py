@@ -738,3 +738,17 @@ def test_kmeans_ivf_trains_and_recalls(spark):
                                 dim=16).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"k-means IVF recall {recall:.3f} < 0.8"
+
+
+def test_pagerank_orderings(spark):
+    """Sink of a 2-in chain outranks its sources; isolated self-loop is
+    dropped; every rank >= the (1-d) base."""
+    from stanza_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d"), ("x", "x")],
+        "src string, dst string")
+    r = {row.node: row.rank for row in pagerank(edges).collect()}
+    assert "x" not in r                      # self-loop edge filtered out
+    assert r["c"] > r["a"] == r["b"]
+    assert r["d"] > r["a"]
+    assert all(v >= 0.15 - 1e-9 for v in r.values())
