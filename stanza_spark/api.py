@@ -53,11 +53,16 @@ class Pipeline:
     def __init__(self, spark: SparkSession,
                  processors: str = "tokenize,mwt,pos,lemma,depparse,ner",
                  lang: str = "en", pretokenized: bool = False,
-                 no_ssplit: bool = False):
+                 no_ssplit: bool = False, decoder: str = "grammar"):
+        if decoder not in ("grammar", "mst"):
+            raise ValueError(f"unknown decoder: {decoder!r}")
         self.spark = spark
         self.lang = lang
         self.pretokenized = pretokenized
         self.no_ssplit = no_ssplit
+        # 'mst' = general decode kernels (Chu-Liu/Edmonds + Viterbi) in
+        # place of the fixed grammars — the semantics-complete path
+        self.decoder = decoder
         names = [p.strip() for p in processors.split(",") if p.strip()]
         unknown = [p for p in names if p not in PIPELINE_NAMES]
         if unknown:
@@ -92,10 +97,14 @@ class Pipeline:
         variant = ("pretokenized" if self.pretokenized
                    else "no_ssplit" if self.no_ssplit else None)
         pages = self._pages(docs)
+        # bind to locals: the foreachBatch/mapInPandas closures must not
+        # capture `self` (it holds the SparkSession — unpicklable on
+        # workers, SPARK-5063)
         procs = self.processors
+        dec = self.decoder
         if variant == "pretokenized":
             w = annotate(pages, en_only=False, pretokenized=True,
-                         processors=procs)
+                         processors=procs, decoder=self.decoder)
         elif variant == "no_ssplit":
             # route through the registered variant
             from .operators import annotate as A
@@ -108,7 +117,7 @@ class Pipeline:
                                               pdf["text"]):
                         for sid, ss, se, words in A.annotate_sentences(
                                 text, variant="no_ssplit",
-                                processors=procs):
+                                processors=procs, decoder=dec):
                             for wi, wd in enumerate(words):
                                 out.append((url, lng, sid, ss, se,
                                             wd["token_id"], wi + 1,
@@ -123,7 +132,8 @@ class Pipeline:
             w = pages.select("url", "lang", "text").mapInPandas(
                 batches, schema=A.WORDS_SCHEMA)
         else:
-            w = annotate(pages, en_only=False, processors=procs)
+            w = annotate(pages, en_only=False, processors=procs,
+                         decoder=self.decoder)
         if "morphseg" in self.processors:
             from .operators.morphseg import segment_words
             w = segment_words(w)

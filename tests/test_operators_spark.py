@@ -752,3 +752,20 @@ def test_pagerank_orderings(spark):
     assert r["c"] > r["a"] == r["b"]
     assert r["d"] > r["a"]
     assert all(v >= 0.15 - 1e-9 for v in r.values())
+
+
+def test_facade_mst_decoder(spark):
+    """Pipeline(decoder='mst') routes depparse/NER through the general
+    decode kernels and matches the grammar pipeline on an in-grammar
+    document; an unknown decoder raises."""
+    import pytest as _pytest
+    from stanza_spark.api import Pipeline
+    doc = "Barack Obama was born in Hawaii. Obama attended Harvard."
+    g = Pipeline(spark)(doc).collect()
+    m = Pipeline(spark, decoder="mst")(doc).collect()
+    key = lambda r: (r.sent_id, r.word_id)
+    assert ([(r.text, r.head, r.deprel, r.ner) for r in sorted(g, key=key)]
+            == [(r.text, r.head, r.deprel, r.ner)
+                for r in sorted(m, key=key)])
+    with _pytest.raises(ValueError):
+        Pipeline(spark, decoder="viterbi-only")
