@@ -167,6 +167,9 @@ def kmeans_centroids(emb: DataFrame, id_col: str = "vec_id",
                 F.round(F.avg(F.element_at("v", i + 1)), 9)
                 for i in range(dim)
             ]).alias("cvec"))
+        # materialize the (<= n_centroids)-row result: without this,
+        # iteration k's lineage nests k full corpus scans
+        cent = cent.localCheckpoint(eager=True)
     return cent
 
 
