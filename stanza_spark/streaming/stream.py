@@ -95,6 +95,45 @@ def stream_windowed_counts(spark: SparkSession, input_dir: str,
 # this is the arbitrary-state streaming variant for unbounded event feeds.
 # ---------------------------------------------------------------------------
 
+def _dedup_group(key, pdf_iter, state):
+    """Per-digest arrival counter: the first document EVER seen with this
+    digest (across all micro-batches and restarts — the count lives in
+    the state store) is kept; everything later is flagged drop."""
+    import pandas as pd
+
+    (text_hash,) = key
+    seen = state.get[0] if state.exists else 0
+    rows = []
+    for pdf in pdf_iter:
+        for doc_id in sorted(pdf["doc_id"]):
+            rows.append((int(doc_id), text_hash, seen == 0))
+            seen += 1
+    state.update((seen,))
+    yield pd.DataFrame(rows, columns=["doc_id", "text_hash", "keep"])
+
+
+def stream_exact_dedup(docs_stream: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup over an unbounded document feed — the
+    incremental-ingest form of operators.dedup.exact_dedup: keep =
+    first-arrival wins (ties inside one micro-batch broken by doc_id),
+    decided by arbitrary stateful processing keyed on the text digest
+    (applyInPandasWithState; state = one counter per digest, so state
+    size is bounded by DISTINCT document count, not stream length).
+    -> append stream of (doc_id, text_hash, keep)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    h = docs_stream.select(F.col(id_col).alias("doc_id"),
+                           F.md5(text_col).alias("text_hash"))
+    return h.groupBy("text_hash").applyInPandasWithState(
+        _dedup_group,
+        outputStructType="doc_id bigint, text_hash string, keep boolean",
+        stateStructType="n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 SESSION_SCHEMA = ("user_id bigint, session_start string, n_events bigint, "
                   "total_value double")
 STATE_SCHEMA = "start bigint, n bigint, total double, last_us bigint"

@@ -26,6 +26,11 @@ def test_find_cycles_reference_cases():
     got = find_cycles(np.array([0, 3, 1, 2]))
     assert len(got) == 1
     assert got[0].tolist() == [False, True, True, True]
+    # two disjoint cycles (reference test_chuliu_edmonds.py::test_tarjan_cycle)
+    got = find_cycles(np.array([0, 3, 1, 2, 5, 6, 4]))
+    assert sorted(m.tolist() for m in got) == [
+        [False, False, False, False, True, True, True],
+        [False, True, True, True, False, False, False]]
 
 
 # ---------------------------------------------------------------------------

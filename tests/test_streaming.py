@@ -132,3 +132,43 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert set(closed) <= set(got) <= set(allsess)
     assert all(got[k] == allsess[k] for k in got)
     assert len(got) > 0
+
+
+def test_stream_exact_dedup_state_survives_batches_and_restart(spark, tmp_path):
+    """Streaming exact dedup: the digest counter lives in the state store,
+    so a duplicate arriving in a LATER micro-batch (or after a query
+    restart from the checkpoint) is dropped while the first arrival was
+    kept."""
+    from stanza_spark.streaming.stream import stream_exact_dedup
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    first = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")],
+        "doc_id long, text string")
+    first.write.mode("overwrite").parquet(src)
+
+    def drain():
+        s = (spark.readStream.schema("doc_id long, text string")
+             .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (stream_exact_dedup(s)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", chk)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    drain()
+    got = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
+    assert got == {1: True, 2: True, 3: False}
+
+    # restart from the checkpoint with new arrivals: 'alpha'/'beta' are
+    # already-seen (state restored), 'gamma' is new
+    second = spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma"), (6, "beta")],
+        "doc_id long, text string")
+    second.write.mode("append").parquet(src)
+    drain()
+    got = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
+    assert got == {1: True, 2: True, 3: False,
+                   4: False, 5: True, 6: False}
