@@ -143,6 +143,12 @@ def test_ivf_plan_broadcasts_centroids(spark):
     # (the final window on query_id)
     assert "hashpartitioning(neighbor_id" not in p
     assert p.count("hashpartitioning(query_id") == 1
+    # the k-means-trained variant keeps the same probe-plan shape: the
+    # corpus never hash-exchanges on its own key (Lloyd assignment is the
+    # same narrow argmax; centroid updates group on the 16-key cent_id)
+    pk = _plan(ivf_topk(emb, qids, 3, kmeans_iters=2, dim=64))
+    assert "hashpartitioning(neighbor_id" not in pk
+    assert "CartesianProduct" not in pk and "SortMergeJoin" not in pk
 
 
 def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
