@@ -127,6 +127,32 @@ def q_rel_users_per_event_type(spark, sf_dir):
 # Event-stream analytics (window functions)
 # ---------------------------------------------------------------------------
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_rel_event_pivot(spark, sf_dir):
+    """Pivot (wide aggregation): daily event counts, one column per event
+    type — the explicit value list keeps the output schema deterministic
+    (and lets Catalyst skip the extra distinct-values job)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.date_format(F.col("ts").cast("timestamp"),
+                                           "yyyy-MM-dd"))
+        .groupBy("day").pivot("event_type", EVENT_TYPES).count()
+        .select("day", *[F.coalesce(t, F.lit(0)).alias(f"n_{t}")
+                         for t in EVENT_TYPES])
+    )
+
+
+def q_rel_event_unpivot(spark, sf_dir):
+    """Unpivot (stack): the wide daily table back to long
+    (day, event_type, n) — zero-count cells become explicit rows."""
+    wide = q_rel_event_pivot(spark, sf_dir)
+    expr = ("stack(5, " + ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+            + ") AS (event_type, n)")
+    return wide.selectExpr("day", expr)
+
+
 def q_rel_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity): lag + running sum —
     the relational form of stateful stream sessionization; the streaming
@@ -205,6 +231,8 @@ RELATIONAL_QUERIES = {
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_orders_rollup": q_rel_orders_rollup,
     "rel_users_per_event_type": q_rel_users_per_event_type,
+    "rel_event_pivot": q_rel_event_pivot,
+    "rel_event_unpivot": q_rel_event_unpivot,
     "rel_sessionize": q_rel_sessionize,
     "rel_hourly_counts": q_rel_hourly_counts,
     "rel_asof_last_purchase": q_rel_asof_last_purchase,
@@ -274,6 +302,27 @@ def relational_oracles() -> dict[str, str]:
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "rel_event_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1
+        """,
+        "rel_event_unpivot": """
+            WITH wide AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY 1
+)
+            SELECT day, 'click' AS event_type, n_click AS n FROM wide UNION ALL SELECT day, 'error' AS event_type, n_error AS n FROM wide UNION ALL SELECT day, 'purchase' AS event_type, n_purchase AS n FROM wide UNION ALL SELECT day, 'signup' AS event_type, n_signup AS n FROM wide UNION ALL SELECT day, 'view' AS event_type, n_view AS n FROM wide
         """,
         "rel_sessionize": """
             WITH e AS (
