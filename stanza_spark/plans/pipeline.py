@@ -43,7 +43,7 @@ from ..operators.linking import alias_df, link_mentions_with_fallback
 from ..operators.graph import materialize_graph
 
 STAGES = ["pages", "words", "mentions", "links", "coref", "triples",
-          "graph"]
+          "graph", "pagerank"]
 
 
 class KGPipeline:
@@ -219,4 +219,16 @@ class KGPipeline:
                 alias_df(self.spark)),
             ["__all_triples__"], hook("graph"), bucket_col="subj_canon")
         self._write_lineage("graph", ["triples"])
+
+        # entity importance over the materialized graph (also a global
+        # stage; output bucketed by node hash)
+        from ..operators.graph import pagerank
+        self._run_stage(
+            "pagerank",
+            lambda: pagerank(
+                self.read_stage("graph").drop("bucket")
+                .select(F.col("subj_canon").alias("src"),
+                        F.col("obj_canon").alias("dst"))),
+            ["__graph__"], hook("pagerank"), bucket_col="node")
+        self._write_lineage("pagerank", ["graph"])
         return self.read_stage("graph")

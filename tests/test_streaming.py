@@ -147,7 +147,10 @@ def test_stream_exact_dedup_state_survives_batches_and_restart(spark, tmp_path):
     first = spark.createDataFrame(
         [(1, "alpha"), (2, "beta"), (3, "alpha")],
         "doc_id long, text string")
-    first.write.mode("overwrite").parquet(src)
+    # ONE file per wave: keep arrival order deterministic (the operator's
+    # contract is first-ARRIVAL wins; multiple part-files would stream in
+    # listing order, not doc_id order)
+    first.coalesce(1).write.mode("overwrite").parquet(src)
 
     def drain():
         s = (spark.readStream.schema("doc_id long, text string")
@@ -167,7 +170,7 @@ def test_stream_exact_dedup_state_survives_batches_and_restart(spark, tmp_path):
     second = spark.createDataFrame(
         [(4, "alpha"), (5, "gamma"), (6, "beta")],
         "doc_id long, text string")
-    second.write.mode("append").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
     drain()
     got = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
     assert got == {1: True, 2: True, 3: False,
