@@ -178,3 +178,40 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t1}")
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_no_driver_collect_in_operator_paths():
+    """Anti-pattern guard (VERDICT r2): no `.collect()` anywhere in the
+    operator/query modules except the two documented sites — the
+    connected-components convergence checksum (one tiny aggregate every
+    2 rounds) and the fixture-scale tokenization-F1 eval helper."""
+    import pathlib
+    import stanza_spark
+    pkg = pathlib.Path(stanza_spark.__file__).parent
+    allowed = {
+        ("operators/canonicalize.py",),   # _checksum: documented
+        ("eval.py",),                     # tokenization_f1: fixture-scale
+    }
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        rel = py.relative_to(pkg).as_posix()
+        for ln, line in enumerate(py.read_text().splitlines(), 1):
+            if ".collect()" in line and not line.lstrip().startswith("#"):
+                if (rel,) not in allowed:
+                    offenders.append(f"{rel}:{ln}")
+    assert not offenders, offenders
+
+
+def test_new_gate_plans_have_no_cartesian(spark):
+    """dedup clustering / curation / full-deps / pagerank plans: no
+    cartesian products; kg_deps_full keeps exactly one hash exchange (the
+    case-children join on the sentence key)."""
+    from stanza_spark.queries import q_kg_deps_full, q_kg_pagerank
+    from stanza_spark.queries_textops import q_curation_keep, q_dedup_clusters
+    for q in (q_kg_deps_full, q_kg_pagerank, q_curation_keep,
+              q_dedup_clusters):
+        p = _plan(q(spark, SF_SMOKE))
+        assert "CartesianProduct" not in p, q.__name__
+    p = _plan(q_kg_deps_full(spark, SF_SMOKE))
+    tree = p.split("== Physical Plan ==")[1].split("\n\n")[0]
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
