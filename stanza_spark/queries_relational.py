@@ -130,6 +130,23 @@ def q_rel_users_per_event_type(spark, sf_dir):
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
+def q_rel_value_quantiles(spark, sf_dir):
+    """Exact distribution statistics per group: Spark's `percentile`
+    (exact linear interpolation) matches DuckDB's quantile_cont
+    bit-for-bit after 6-dp rounding — the exact-twin of the
+    approx_percentile pattern (approximate sketches can't be
+    cross-engine value-checked; at 100 TB swap in approx_percentile and
+    keep this as the verification-scale twin)."""
+    ev = _t(spark, sf_dir, "events")
+    qs = F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.round(qs[0], 6).alias("p25"),
+        F.round(qs[1], 6).alias("p50"),
+        F.round(qs[2], 6).alias("p75"),
+        F.round(qs[3], 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"))
+
+
 def q_rel_event_pivot(spark, sf_dir):
     """Pivot (wide aggregation): daily event counts, one column per event
     type — the explicit value list keeps the output schema deterministic
@@ -231,6 +248,7 @@ RELATIONAL_QUERIES = {
     "rel_customers_without_orders": q_rel_customers_without_orders,
     "rel_orders_rollup": q_rel_orders_rollup,
     "rel_users_per_event_type": q_rel_users_per_event_type,
+    "rel_value_quantiles": q_rel_value_quantiles,
     "rel_event_pivot": q_rel_event_pivot,
     "rel_event_unpivot": q_rel_event_unpivot,
     "rel_sessionize": q_rel_sessionize,
@@ -301,6 +319,15 @@ def relational_oracles() -> dict[str, str]:
         "rel_users_per_event_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
+            FROM events GROUP BY event_type
+        """,
+        "rel_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.99), 6) AS p99,
+                   count(*) AS n
             FROM events GROUP BY event_type
         """,
         "rel_event_pivot": """
