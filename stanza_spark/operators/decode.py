@@ -161,16 +161,39 @@ def mst_single_root(scores: np.ndarray) -> np.ndarray:
     (chuliu_edmonds_one_root, chuliu_edmonds.py:246-269): uniformly
     reweight the ROOT column by min_finite_score * n, which preserves the
     relative ranking among root candidates while making every extra root
-    arc strictly worse than any alternative (scores are log-scores ≤ 0 in
-    the intended use; the reweighting assumes a negative minimum)."""
+    arc strictly worse than any alternative.  The reweighting needs a
+    strictly negative minimum, so scores are first shifted by
+    -max_finite — a uniform shift moves every spanning tree's total by
+    the same n*c and never changes the argmax tree.  If the reweighted
+    solve still yields != 1 root (degenerate all-equal matrices), fall
+    back to an explicit per-candidate-root search (the reference's retry
+    loop), keeping the best-scoring single-root tree (ties -> lowest
+    root index)."""
     s = np.array(scores, dtype=np.float64)
     finite = s[np.isfinite(s)]
-    s[:, 0] = s[:, 0] + finite.min() * s.shape[0]
-    heads = chuliu_edmonds(s)
+    s -= finite.max()                     # finite scores now <= 0
+    s2 = s.copy()
+    s2[:, 0] = s2[:, 0] + min(s[np.isfinite(s)].min(), -1.0) * s.shape[0]
+    heads = chuliu_edmonds(s2)
     n_roots = int(np.count_nonzero(heads[1:] == 0))
-    if n_roots != 1:
-        raise ValueError(f"single-root reweighting failed: {n_roots} roots")
-    return heads
+    if n_roots == 1:
+        return heads
+    n = s.shape[0]
+    best_heads, best_score = None, -np.inf
+    for r in range(1, n):
+        forced = s.copy()
+        forced[:, 0] = -np.inf
+        forced[r, 0] = s[r, 0]
+        h = chuliu_edmonds(forced)
+        if int(np.count_nonzero(h[1:] == 0)) != 1:
+            continue
+        sc = float(s[np.arange(1, n), h[1:]].sum())
+        if sc > best_score:
+            best_heads, best_score = h, sc
+    if best_heads is None:
+        raise ValueError("single-root search failed: no candidate root "
+                         "admits a spanning arborescence")
+    return best_heads
 
 
 # ---------------------------------------------------------------------------

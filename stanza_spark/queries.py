@@ -258,6 +258,21 @@ def q_kg_triples_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
                           decoder="mst")
 
 
+def _await_stream_or_raise(q, timeout_s: float, scratch_dir: str) -> None:
+    """awaitTermination returns False on timeout — in that case the output
+    directory holds only the micro-batches that happened to commit, and
+    reading it would surface as an opaque oracle mismatch.  Fail loudly
+    instead (ADVICE r3)."""
+    import shutil
+
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        shutil.rmtree(scratch_dir, ignore_errors=True)
+        raise TimeoutError(
+            f"streaming drain did not finish within {timeout_s} s — "
+            "refusing to read a partial output directory")
+
+
 def q_kg_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/stream parity gate (op 3): the corpus is drained through the
     Structured Streaming path — file source in multiple micro-batches
@@ -279,7 +294,7 @@ def q_kg_triples_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages(spark, sf_dir, with_html=False).repartition(8) \
         .write.parquet(src)
     q = stream_pages_to_triples(spark, src, out, chk)
-    q.awaitTermination(600)
+    _await_stream_or_raise(q, 600, base)
     result = spark.read.parquet(out).select(
         "url", "sent_id", "subj", "pred", "obj", "subj_type", "obj_type"
     ).localCheckpoint(eager=True)   # materialize, then drop the scratch dir

@@ -103,11 +103,18 @@ def _dedup_group(key, pdf_iter, state):
 
     (text_hash,) = key
     seen = state.get[0] if state.exists else 0
-    rows = []
+    # Buffer every chunk of the group before sorting: a digest group can
+    # arrive split across several pandas chunks, and sorting per-chunk
+    # would keep arrival order ACROSS chunks, breaking the documented
+    # "ties inside one micro-batch broken by doc_id" contract.
+    ids: list[int] = []
     for pdf in pdf_iter:
-        for doc_id in sorted(pdf["doc_id"]):
-            rows.append((int(doc_id), text_hash, seen == 0))
-            seen += 1
+        ids.extend(int(d) for d in pdf["doc_id"])
+    ids.sort()
+    rows = []
+    for doc_id in ids:
+        rows.append((doc_id, text_hash, seen == 0))
+        seen += 1
     state.update((seen,))
     yield pd.DataFrame(rows, columns=["doc_id", "text_hash", "keep"])
 

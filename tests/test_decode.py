@@ -261,3 +261,28 @@ def test_grammar_arc_scores_are_log_scores():
     """mst_single_root's reweighting assumes scores <= 0."""
     for words in _words_for(GOLDEN):
         assert float(grammar_arc_scores(words).max()) <= 0.0
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_single_root_handles_nonnegative_scores(seed):
+    """Arbitrary score matrices, not just log-scores: positive and
+    all-zero inputs must still decode to the optimal single-root tree
+    (ADVICE r3 — the old reweighting was a no-op when min_finite >= 0)."""
+    rnd = np.random.RandomState(seed)
+    for _ in range(40):
+        n = rnd.randint(2, 6)
+        scores = rnd.uniform(0, 10, size=(n, n))   # strictly positive
+        got = mst_single_root(scores.copy())
+        assert int(np.count_nonzero(got[1:] == 0)) == 1
+        best = max(_tree_score(scores, h) for h in _all_trees(n, True))
+        assert _tree_score(scores, got) == pytest.approx(best)
+
+
+def test_single_root_all_equal_scores():
+    """Fully degenerate matrix: every tree ties.  Any single-root tree is
+    optimal; the decode must return one instead of raising."""
+    for n in (2, 3, 5):
+        s = np.zeros((n, n))
+        got = mst_single_root(s)
+        assert int(np.count_nonzero(got[1:] == 0)) == 1
+        assert find_cycles(got) == []

@@ -175,3 +175,45 @@ def test_stream_exact_dedup_state_survives_batches_and_restart(spark, tmp_path):
     got = {r.doc_id: r.keep for r in spark.read.parquet(out).collect()}
     assert got == {1: True, 2: True, 3: False,
                    4: False, 5: True, 6: False}
+
+
+def test_dedup_group_sorts_across_chunks():
+    """_dedup_group must buffer every pandas chunk of a digest group
+    before choosing the kept row: a group split across chunks with
+    doc_ids out of order must still keep the global min doc_id
+    (ADVICE r3 — per-chunk sorting kept arrival order across chunks)."""
+    import pandas as pd
+    from stanza_spark.streaming.stream import _dedup_group
+
+    class FakeState:
+        exists = False
+        def update(self, v):
+            self.get = v
+            self.exists = True
+
+    chunks = iter([pd.DataFrame({"doc_id": [7, 9]}),
+                   pd.DataFrame({"doc_id": [2, 8]})])
+    st = FakeState()
+    (out,) = list(_dedup_group(("h",), chunks, st))
+    assert out["doc_id"].tolist() == [2, 7, 8, 9]
+    assert out["keep"].tolist() == [True, False, False, False]
+    assert st.get == (4,)
+
+
+def test_stream_gate_raises_on_timeout(tmp_path):
+    """q_kg_triples_stream's drain helper must raise (and stop the query)
+    when awaitTermination times out, never read partial output."""
+    import pytest
+    from stanza_spark.queries import _await_stream_or_raise
+
+    class FakeQuery:
+        stopped = False
+        def awaitTermination(self, t):
+            return False
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery()
+    with pytest.raises(TimeoutError):
+        _await_stream_or_raise(q, 0.05, str(tmp_path / "scratch"))
+    assert q.stopped
