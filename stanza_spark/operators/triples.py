@@ -26,16 +26,56 @@ url so all five joins co-locate.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F, Window
 
 
-def spans(words: DataFrame) -> DataFrame:
+@dataclass(frozen=True)
+class DepPattern:
+    """Declarative dependency-pattern spec — the Semgrex-analog surface.
+
+    The reference exposes user-definable dependency patterns (semgrex.py:193,
+    default ``{}=source >obj=zzz {}=target``; engine :53-102) run in a Java
+    subprocess per document.  Here the pattern is DATA compiled onto the
+    same relational self-joins Catalyst already plans: a user wanting
+    ``(X, advise, Y)`` from an ``nmod`` arc passes
+    ``DepPattern(obj_rels=("nmod",))`` instead of editing operator source.
+
+    * ``pred_upos``   — UPOS tags a predicate node may carry.
+    * ``pred_from``   — which word column becomes the relation surface
+                        (``lemma`` = normalized, ``text`` = literal).
+    * ``subj_rels``   — child deprels that qualify as the source argument.
+    * ``obj_rels``    — child deprels that qualify as the target argument,
+                        PRIORITY = listed order (ties: word order).
+    * ``expand_rels`` — child deprels folded into the argument's surface
+                        span (multiword names etc.).
+    """
+
+    pred_upos: tuple[str, ...] = ("VERB",)
+    pred_from: str = "lemma"
+    subj_rels: tuple[str, ...] = ("nsubj", "nsubj:pass")
+    obj_rels: tuple[str, ...] = ("obj", "xcomp", "obl")
+    expand_rels: tuple[str, ...] = ("flat",)
+
+
+#: ``{}=source >nsubj {} >obj|xcomp|obl=prio {}=target`` — the reference's
+#: default OpenIE shape (semgrex.py:193 generalized per SURVEY §2.3).
+DEFAULT_PATTERN = DepPattern()
+
+#: Oblique-only relations: ``(X, pred, obl-arg)`` — the non-default gate
+#: proving patterns are user-switchable data (kg_triples_pattern).
+OBL_PATTERN = DepPattern(obj_rels=("obl",))
+
+
+def spans(words: DataFrame,
+          expand_rels: tuple[str, ...] = ("flat",)) -> DataFrame:
     """Span-head rows with flat-expanded surface text.
 
     -> (url, sent_id, word_id, span_text, last_word_id)
     """
     flats = (
-        words.filter(F.col("deprel") == "flat")
+        words.filter(F.col("deprel").isin(*expand_rels))
         .groupBy("url", "sent_id", F.col("head").alias("word_id"))
         .agg(
             F.array_join(
@@ -48,7 +88,7 @@ def spans(words: DataFrame) -> DataFrame:
             F.max("word_id").alias("flat_last"),
         )
     )
-    heads = words.filter(F.col("deprel") != "flat").select(
+    heads = words.filter(~F.col("deprel").isin(*expand_rels)).select(
         "url", "sent_id", "word_id", "text"
     )
     return (
@@ -64,25 +104,31 @@ def spans(words: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(words: DataFrame, mentions: DataFrame | None = None) -> DataFrame:
+def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
+                    pattern: DepPattern = DEFAULT_PATTERN) -> DataFrame:
     """words (+ optional decoded mentions for typing) ->
-    (url, sent_id, subj, pred, obj, subj_type, obj_type)."""
-    verbs = words.filter(F.col("upos") == "VERB").select(
+    (url, sent_id, subj, pred, obj, subj_type, obj_type).
+
+    ``pattern`` compiles a user-declared :class:`DepPattern` onto the
+    self-joins — the default reproduces the reference's OpenIE shape."""
+    verbs = words.filter(F.col("upos").isin(*pattern.pred_upos)).select(
         "url", "sent_id", F.col("word_id").alias("v_id"),
-        F.col("lemma").alias("pred"),
+        F.col(pattern.pred_from).alias("pred"),
     )
-    subj = words.filter(F.col("deprel").isin("nsubj", "nsubj:pass")).select(
+    subj = words.filter(F.col("deprel").isin(*pattern.subj_rels)).select(
         "url", "sent_id", F.col("head").alias("v_id"),
         F.col("word_id").alias("s_id"),
     )
+    prio = F.lit(len(pattern.obj_rels) + 1)
+    for rank in range(len(pattern.obj_rels) - 1, -1, -1):
+        prio = F.when(F.col("deprel") == pattern.obj_rels[rank],
+                      rank + 1).otherwise(prio)
     objc = (
-        words.filter(F.col("deprel").isin("obj", "xcomp", "obl"))
+        words.filter(F.col("deprel").isin(*pattern.obj_rels))
         .select(
             "url", "sent_id", F.col("head").alias("v_id"),
             F.col("word_id").alias("o_id"),
-            F.when(F.col("deprel") == "obj", 1)
-            .when(F.col("deprel") == "xcomp", 2)
-            .otherwise(3).alias("prio"),
+            prio.alias("prio"),
         )
     )
     w = Window.partitionBy("url", "sent_id", "v_id").orderBy("prio", "o_id")
@@ -92,7 +138,7 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None) -> Data
         .drop("rn", "prio")
     )
 
-    sp = spans(words)
+    sp = spans(words, pattern.expand_rels)
 
     t = (
         verbs

@@ -240,6 +240,18 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(w, m)
 
 
+def q_kg_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semgrex-analog gate: a NON-default user pattern
+    (``DepPattern(obj_rels=("obl",))`` — oblique-only relations, the
+    reference's ``{}=source >obl=zzz {}=target`` shape) compiled onto the
+    same relational self-joins.  Oracle = grammar-derived obl triples
+    (vocab.OBL_TRIPLES), proving the pattern surface is data, not code."""
+    from .operators.triples import OBL_PATTERN
+    w = _words(spark, sf_dir, cache=True)
+    m = decode_mentions(w).localCheckpoint(eager=True)
+    return extract_triples(w, m, pattern=OBL_PATTERN)
+
+
 def q_kg_triples_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as q_kg_triples via the shuffle-free narrow plan
     (one mapInPandas pass) — the production physical strategy at 100 TB."""
@@ -399,6 +411,7 @@ KG_QUERIES = {
     "kg_links": q_kg_links,
     "kg_links_fuzzy": q_kg_links_fuzzy,
     "kg_triples": q_kg_triples,
+    "kg_triples_pattern": q_kg_triples_pattern,
     "kg_triples_narrow": q_kg_triples_narrow,
     "kg_triples_mst": q_kg_triples_mst,
     "kg_triples_stream": q_kg_triples_stream,
@@ -412,6 +425,11 @@ KG_QUERIES = {
     "kg_coref": q_kg_coref,
     "kg_coref_chains": q_kg_coref_chains,
 }
+
+
+def _obl_pattern_oracle(d: Dialect) -> str:
+    from . import vocab as V
+    return gold_triples_select(d, V.OBL_TRIPLES)
 
 
 def _pagerank_oracle(d: Dialect, iters: int = 5,
@@ -463,6 +481,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_links": gold_links_select(d),
         "kg_links_fuzzy": gold_links_fuzzy_select(d),
         "kg_triples": gold_triples_select(d),
+        "kg_triples_pattern": _obl_pattern_oracle(d),
         "kg_triples_narrow": gold_triples_select(d),
         "kg_triples_mst": gold_triples_select(d),
         "kg_triples_stream": gold_triples_select(d),

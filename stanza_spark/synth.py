@@ -206,13 +206,20 @@ def sentences_select(d: Dialect) -> str:
 # template grammar — independent of any parser implementation.
 # ---------------------------------------------------------------------------
 
-def gold_triples_select(d: Dialect) -> str:
-    """(url, sent_id, subj, pred, obj, subj_type, obj_type) for lang='en'."""
+def gold_triples_select(d: Dialect, triples: dict | None = None) -> str:
+    """(url, sent_id, subj, pred, obj, subj_type, obj_type) for lang='en'.
+
+    ``triples`` maps template id -> (subj_slot, pred, obj_slot, styp, otyp);
+    default = the grammar's per-template triple (V.TEMPLATES).  Passing
+    V.OBL_TRIPLES yields the oracle for the non-default obl-only
+    DepPattern (kg_triples_pattern)."""
+    tmap = ({t: tr for t, (_, tr) in enumerate(V.TEMPLATES) if tr}
+            if triples is None else triples)
+
     def case(col_fn):
         whens = []
-        for t, (parts, triple) in enumerate(V.TEMPLATES):
-            if triple is None:
-                continue
+        for t in sorted(tmap):
+            triple = tmap[t]
             whens.append(f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {col_fn(triple)}")
         return "CASE" + "".join(whens) + " ELSE NULL END"
 

@@ -144,6 +144,36 @@ TEMPLATES = [
      ("He", "visit", "G", None, "GPE")),
 ]
 
+# Grammar-derived triples for the NON-DEFAULT dependency pattern
+# DepPattern(obj_rels=("obl",)) — the kg_triples_pattern gate.  Object =
+# the verb's FIRST obl child (word order), ignoring obj/xcomp entirely;
+# subject/pred unchanged; types from mention coverage (MENTION_SLOTS).
+# Derived per template from the parse shapes above:
+#   t0  "P attended O in Y."            obl=Y (obj O skipped)
+#   t1  "P was born in G."              obl=G (same as default)
+#   t2  "P founded O in G."             obl=G
+#   t3  "O acquired O2 in Y."           obl=Y
+#   t4  "P moved to G in Y."            first obl=G (same as default)
+#   t5  "P works at O."                 obl=O (same)
+#   t6  "O is based in G."              obl=G (same)
+#   t7  "P visited G in Y."             obl=Y (obj G skipped)
+#   t9  "P was elected president in Y." obl=Y (xcomp skipped)
+#   t16 "PC joined O in Y."             obl=Y
+#   t17 "He visited G in Y."            obl=Y
+OBL_TRIPLES = {
+    0:  ("P", "attend", "Y", "PERSON", "DATE"),
+    1:  ("P", "bear", "G", "PERSON", "GPE"),
+    2:  ("P", "found", "G", "PERSON", "GPE"),
+    3:  ("O", "acquire", "Y", "ORG", "DATE"),
+    4:  ("P", "move", "G", "PERSON", "GPE"),
+    5:  ("P", "work", "O", "PERSON", "ORG"),
+    6:  ("O", "base", "G", "ORG", "GPE"),
+    7:  ("P", "visit", "Y", "PERSON", "DATE"),
+    9:  ("P", "elect", "Y", "PERSON", "DATE"),
+    16: ("PC", "join", "Y", "MISC", "DATE"),
+    17: ("He", "visit", "Y", None, "DATE"),
+}
+
 # Deterministic surface corruption for slot PC (fuzzy-linking exercise):
 # the full person name with its final character doubled.
 def corrupt_name(name: str) -> str:

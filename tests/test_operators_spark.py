@@ -769,3 +769,26 @@ def test_facade_mst_decoder(spark):
                 for r in sorted(m, key=key)])
     with _pytest.raises(ValueError):
         Pipeline(spark, decoder="viterbi-only")
+
+
+def test_dep_pattern_is_user_switchable(spark):
+    """Semgrex-analog (reference semgrex.py:193): the dependency pattern is
+    DATA.  The same parsed words under the default pattern vs an obl-only
+    pattern yield different objects — no operator source edited."""
+    from stanza_spark.operators.triples import DepPattern, OBL_PATTERN
+    doc = "Obama attended Harvard in 1995.  Obama visited Tokyo in 1999."
+    df = spark.createDataFrame([("u", "en", doc)],
+                               "url string, lang string, text string")
+    w = annotate(df)
+    default = {(r.sent_id, r.obj)
+               for r in extract_triples(w).select("sent_id", "obj").collect()}
+    obl = {(r.sent_id, r.obj)
+           for r in extract_triples(w, pattern=OBL_PATTERN)
+           .select("sent_id", "obj").collect()}
+    assert default == {(0, "Harvard"), (1, "Tokyo")}   # obj wins by priority
+    assert obl == {(0, "1995"), (1, "1999")}           # obl-only skips obj
+
+    # pred_from switches surface normalization: text keeps the inflection
+    lit = extract_triples(
+        w, pattern=DepPattern(pred_from="text")).select("pred").collect()
+    assert {r.pred for r in lit} == {"attended", "visited"}
