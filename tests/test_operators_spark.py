@@ -792,3 +792,48 @@ def test_dep_pattern_is_user_switchable(spark):
     lit = extract_triples(
         w, pattern=DepPattern(pred_from="text")).select("pred").collect()
     assert {r.pred for r in lit} == {"attended", "visited"}
+
+
+def test_image_header_codec_parses_real_bytes():
+    """Library-free codec (r4): PNG IHDR + JPEG SOF0 dimensions parsed
+    from raw bytes, including a JPEG whose SOF0 sits behind APP0 and COM
+    segments the walker must skip by length field."""
+    import struct
+    import pytest as _pytest
+    from stanza_spark.operators.multimodal import (decode_image,
+                                                   parse_image_dims)
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+           + b"\x00\x00\x00\x00")
+    assert parse_image_dims(png) == ("png", 640, 480)
+
+    com = b"hello world"
+    jpeg = (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01"
+            + b"\x00" + b"\x00\x01\x00\x01" + b"\x00\x00"
+            + b"\xff\xfe" + struct.pack(">H", 2 + len(com)) + com   # COM
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 1080, 1920)
+            + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+            + b"\xff\xd9")
+    assert parse_image_dims(jpeg) == ("jpeg", 1920, 1080)
+    assert decode_image(jpeg) == ("jpeg", 1920, 1080)
+
+    assert parse_image_dims(b"not an image at all") is None
+    with _pytest.raises(ValueError):
+        decode_image(b"plain text payload")
+
+
+def test_image_payload_roundtrip_spark(spark):
+    """image_payloads (SQL-built headers) -> decode_meta (Arrow parse)
+    must recover exactly the doc_id-derived dimensions."""
+    from stanza_spark.operators.multimodal import decode_meta, image_payloads
+    docs = spark.range(20).select(F.col("id").alias("doc_id"),
+                                  F.lit("filler body text").alias("text"))
+    out = {r.doc_id: r for r in decode_meta(image_payloads(docs)).collect()}
+    for d in range(20):
+        r = out[d]
+        assert r.format == ("png" if d % 2 == 0 else "jpeg")
+        assert r.width == d % 1920 + 1
+        assert r.height == (d * 7) % 1080 + 1
