@@ -164,7 +164,8 @@ def split_sentences(text: str):
 # MWT expansion (op 13)
 # ---------------------------------------------------------------------------
 
-_MWT_DICTS = {"de": V.DE_MWT_DICT, "fr": V.FR_MWT_DICT}
+_MWT_DICTS = {"de": V.DE_MWT_DICT, "fr": V.FR_MWT_DICT,
+              "ar": V.AR_MWT_DICT}
 
 
 def expand_token(tok: str, lang: str = "en"):
@@ -204,6 +205,15 @@ def tag_word(text: str, lang: str = "en"):
         if text[0].isupper():
             return ("NOUN", "NN", "_", text)
         return ("X", "XY", "_", text)
+    if lang == "ar":
+        # no letter case in Arabic script: lexicon keys are surface forms
+        if text in V.AR_LEXICON:
+            return V.AR_LEXICON[text]
+        if NUM_PAT.match(text):
+            return ("NUM", "Q", "NumForm=Digit|NumType=Card", text)
+        if len(text) == 1 and not text.isalnum():
+            return ("PUNCT", "G", "_", text)
+        return ("NOUN", "N", "_", text)
     if lang == "fr":
         if lw in V.FR_LEXICON:
             return V.FR_LEXICON[lw]

@@ -21,13 +21,16 @@ from pyspark.sql import DataFrame, functions as F
 from .annotate import annotate
 from .tokenize_sql import sentences_from_pages, tokens_sql
 
-# three FULL languages: the per-language "models" are the en rule
-# lexicons, the de lexicon + APPRART MWT dict (im -> in dem) and the fr
+# four FULL languages: the per-language "models" are the en rule
+# lexicons, the de lexicon + APPRART MWT dict (im -> in dem), the fr
 # lexicon + preposition-article clitic MWT dict (du -> de le,
-# test_french_pipeline.py golden shape) — both non-English corpora carry
-# real MWT expansions, so the routed word stream exercises tuple token
-# ids corpus-wide across two typologically different contraction systems
-FULL_PIPELINE_LANGS = ("en", "de", "fr")
+# test_french_pipeline.py golden shape), and the ar lexicon + MULTI-clitic
+# MWT dict (وللوزارة -> و + ل + الوزارة, a THREE-way split in an RTL
+# script — test_arabic_pipeline.py golden shape).  The non-English corpora
+# carry real MWT expansions, so the routed word stream exercises tuple
+# token ids corpus-wide across three typologically different contraction
+# systems.
+FULL_PIPELINE_LANGS = ("en", "de", "fr", "ar")
 
 
 def route_and_annotate(pages_df: DataFrame,

@@ -21,7 +21,7 @@ from .synth import (
     gold_constituency_select, gold_enhanced_deps_select,
     gold_deps_full_select, gold_coref_select, gold_coref_chains_select,
     gold_words_routed_select, gold_pos_lemma_de_select,
-    gold_pos_lemma_fr_select,
+    gold_pos_lemma_fr_select, gold_pos_lemma_ar_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -380,6 +380,34 @@ def q_kg_pos_lemma_fr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_mwt").cast("int").alias("is_mwt"))
 
 
+def q_kg_pos_lemma_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arabic full-pipeline annotations (op 7 FOURTH language): RTL
+    script, logical-order offsets, and a MULTI-clitic MWT expansion —
+    وللوزارة -> و + ل + الوزارة, a THREE-way split exceeding the de/fr
+    2-word shapes (reference test_arabic_pipeline.py golden shape).  The
+    driver corpus has no ar rows, so the gate synthesizes a deterministic
+    Arabic twin page per document (pure doc_id arithmetic in BOTH
+    engines) and runs it through the same routed annotator."""
+    from .operators.multilingual import route_and_annotate
+    from .sources.pages import documents
+    from .synth import template_text_expr
+    from . import vocab as V
+
+    d = Dialect("spark")
+    parts, _ = V.NON_EN_TEMPLATES["ar"]
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    ar = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
+        f"concat('https://ar.example.org/d/', CAST(doc_id AS STRING)) AS url",
+        "'ar' AS lang",
+        f"{template_text_expr(d, parts, '0')} AS text",
+    )
+    w = route_and_annotate(ar)
+    return w.select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "xpos", "feats", "lemma",
+        F.col("is_mwt").cast("int").alias("is_mwt"))
+
+
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide canonicalization via iterative connected components over
     the alias surfaces of corpus-observed entities."""
@@ -421,6 +449,7 @@ KG_QUERIES = {
     "kg_words_routed_pred": q_kg_words_routed_pred,
     "kg_pos_lemma_de": q_kg_pos_lemma_de,
     "kg_pos_lemma_fr": q_kg_pos_lemma_fr,
+    "kg_pos_lemma_ar": q_kg_pos_lemma_ar,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
     "kg_coref_chains": q_kg_coref_chains,
@@ -496,6 +525,7 @@ def kg_oracles() -> dict[str, str]:
             f"FROM ({gold_words_routed_select(d)})"),
         "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
         "kg_pos_lemma_fr": gold_pos_lemma_fr_select(d),
+        "kg_pos_lemma_ar": gold_pos_lemma_ar_select(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),
         "kg_coref_chains": gold_coref_chains_select(d),

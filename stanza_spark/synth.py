@@ -467,11 +467,16 @@ def gold_words_routed_select(d: Dialect) -> str:
     return non_mwt + " UNION ALL " + " UNION ALL ".join(branches)
 
 
-def _gold_pos_lemma_lang_select(d: Dialect, lang: str) -> str:
+def _gold_pos_lemma_lang_select(d: Dialect, lang: str,
+                                inner: str | None = None,
+                                lang_filter: bool = True) -> str:
     """(url, sent_id, word_id, word, upos, xpos, feats, lemma, is_mwt)
     for one routed language — the lexicon annotations as template
-    constants (incl. live MWT expansion positions)."""
-    inner = sentences_select(d)
+    constants (incl. live MWT expansion positions).  ``inner`` overrides
+    the corpus source (the Arabic twin corpus passes its own)."""
+    if inner is None:
+        inner = sentences_select(d)
+    where = f" WHERE lang = {d.str_lit(lang)}" if lang_filter else ""
     y = slot_expr(d, "Y", "sent_id")
     branches = []
     for i, w in enumerate(_lang_word_pattern(lang)):
@@ -484,7 +489,7 @@ def _gold_pos_lemma_lang_select(d: Dialect, lang: str) -> str:
             f"{d.str_lit(w['upos'])} AS upos, {d.str_lit(w['xpos'])} AS xpos, "
             f"{d.str_lit(w['feats'])} AS feats, {lemma} AS lemma, "
             f"{1 if w['is_mwt'] else 0} AS is_mwt "
-            f"FROM ({inner}) WHERE lang = {d.str_lit(lang)}")
+            f"FROM ({inner}){where}")
     return " UNION ALL ".join(branches)
 
 
@@ -498,6 +503,27 @@ def gold_pos_lemma_fr_select(d: Dialect) -> str:
     both is_mwt — the reference golden shape,
     test_french_pipeline.py:55-80)."""
     return _gold_pos_lemma_lang_select(d, "fr")
+
+
+def ar_pages_select(d: Dialect) -> str:
+    """Arabic twin corpus: the driver corpus carries no lang='ar' rows, so
+    the fourth-language gate synthesizes ONE deterministic Arabic page per
+    document (pure doc_id arithmetic, single sentence) in both dialects —
+    same philosophy as the rest of this module."""
+    parts, _ = V.NON_EN_TEMPLATES["ar"]
+    text = template_text_expr(d, parts, "0")
+    url = f"concat('https://ar.example.org/d/', {d.cast_str('doc_id')})"
+    return (f"SELECT doc_id, {url} AS url, 'ar' AS lang, 0 AS sent_id, "
+            f"{text} AS text FROM documents")
+
+
+def gold_pos_lemma_ar_select(d: Dialect) -> str:
+    """Arabic full-pipeline gold over the twin corpus: the multi-clitic
+    MWT وللوزارة expands at fixed positions to words 3/4/5 (و CCONJ,
+    ل ADP, الوزارة NOUN — all is_mwt), the reference Arabic pipeline's
+    >2-way token split (test_arabic_pipeline.py golden shape)."""
+    return _gold_pos_lemma_lang_select(d, "ar", inner=ar_pages_select(d),
+                                       lang_filter=False)
 
 
 def alias_values_cte(d: Dialect) -> str:

@@ -196,6 +196,14 @@ NON_EN_TEMPLATES = {
     # APPRART dict.
     "fr": (["Le rapport du ministère a été publié en ", "Y", "."], None),
     "zh": (["数据 报告 于 ", "Y", " 年 发布 。"], None),
+    # ar (fourth full language, round 4): RTL script with a MULTI-clitic
+    # MWT — "وللوزارة" (wa+li+al-wizāra, "and for the ministry") expands
+    # to THREE words (و CCONJ, ل ADP, الوزارة NOUN), exceeding the
+    # 2-word shapes of de/fr — the reference Arabic pipeline's >2-way
+    # token splits (test_arabic_pipeline.py golden shape).  The string is
+    # stored in logical order; char offsets are logical-order offsets, so
+    # RTL display order never enters the data model.
+    "ar": (["نشر التقرير وللوزارة في عام ", "Y", "."], None),
 }
 
 # Mixing constants (arbitrary coprime multipliers; pure functions of
@@ -269,9 +277,14 @@ EMAIL_RE = (rf"{_EMAIL_ATOM}(?:\.{_EMAIL_ATOM})*"
 # Latin letters incl. Latin-1 supplement (À-Ö Ø-ö ø-ÿ, skipping ×/÷):
 # ASCII-only word tokens would split "veröffentlicht"/"publié" at the
 # accented letter.  Literal ranges mean the same thing in python-re, RE2
-# and java.util.regex.
+# and java.util.regex.  The Arabic block (U+0600-U+06FF) is a second
+# word-character run class (fourth full language): Arabic has no
+# apostrophe clitics at the orthographic level — fused clitics are one
+# surface token split later by the MWT dict.  The group is non-capturing
+# so WORD_RE stays safely embeddable (annotate.WORD_PAT appends \Z).
 _LATIN = "A-Za-zÀ-ÖØ-öø-ÿ"
-WORD_RE = rf"[{_LATIN}]+(?:'[{_LATIN}]+)?"
+_ARABIC = "؀-ۿ"
+WORD_RE = rf"(?:[{_LATIN}]+(?:'[{_LATIN}]+)?|[{_ARABIC}]+)"
 NUM_RE = r"[0-9]+(?:[.,][0-9]+)*"
 PUNCT_RE = rf"[^{_LATIN}0-9{WS_CLASS}]"
 TOKEN_RE = f"{URL_RE}|{EMAIL_RE}|{WORD_RE}|{NUM_RE}|{PUNCT_RE}"
@@ -427,10 +440,40 @@ FR_MWT_DICT = {
     "aux": ["à", "les"],
 }
 
+# --------------------------------------------------------------------------
+# Arabic "model" (fourth full language, op 7): RTL script + MULTI-clitic
+# MWT splits — conjunction و and preposition ل attach to the noun, so one
+# surface token expands to up to THREE words (the reference's Arabic
+# pipeline golden shape, test_arabic_pipeline.py; PADT-style analysis).
+# Arabic has no letter case, so the MWT casing-preservation branch is a
+# no-op by construction.  Format: word -> (upos, xpos, feats, lemma).
+# --------------------------------------------------------------------------
+
+AR_LEXICON = {
+    "نشر": ("VERB", "VP", "Aspect=Perf|Gender=Masc|Number=Sing|Person=3|Voice=Pass", "نشر"),
+    "التقرير": ("NOUN", "N", "Case=Nom|Definite=Def|Gender=Masc|Number=Sing", "تقرير"),
+    "و": ("CCONJ", "C", "_", "و"),
+    "ل": ("ADP", "P", "AdpType=Prep", "ل"),
+    "ب": ("ADP", "P", "AdpType=Prep", "ب"),
+    "الوزارة": ("NOUN", "N", "Case=Gen|Definite=Def|Gender=Fem|Number=Sing", "وزارة"),
+    "في": ("ADP", "P", "AdpType=Prep", "في"),
+    "عام": ("NOUN", "N", "Case=Gen|Definite=Ind|Gender=Masc|Number=Sing", "عام"),
+}
+
+# clitic fusions: wa- (and) + li- (for) + al-noun in ONE surface token ->
+# three word rows; bi- variants give the 2-way shape alongside
+AR_MWT_DICT = {
+    "وللوزارة": ["و", "ل", "الوزارة"],
+    "وللتقرير": ["و", "ل", "التقرير"],
+    "للوزارة": ["ل", "الوزارة"],
+    "بالوزارة": ["ب", "الوزارة"],
+}
+
 # English stopwords for quality scoring / language-id heuristics.
 STOPWORDS = {
     "en": ["the", "and", "of", "in", "to", "was", "is", "for", "at", "a"],
     "de": ["der", "die", "das", "und", "im", "wurde", "jahr", "von", "mit", "ein"],
     "es": ["el", "la", "de", "en", "fue", "los", "las", "por", "con", "un"],
     "fr": ["le", "la", "de", "en", "été", "les", "des", "par", "avec", "un"],
+    "ar": ["في", "من", "على", "إلى", "عن", "عام", "التقرير", "نشر", "هذا", "مع"],
 }

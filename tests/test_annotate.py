@@ -322,3 +322,29 @@ def test_annotator_offsets_align_with_pretokenized_matcher():
     aligned = align_pretokenized(text, toks)
     got = [(r[8], r[9], r[10]) for r in rows if not r[7]]
     assert got == aligned
+
+
+def test_arabic_multi_clitic_mwt_and_rtl_offsets():
+    """Fourth language (r4): the fused token وللوزارة expands to THREE
+    words (> the 2-word de/fr shapes), all sharing the parent token's
+    char span; offsets are logical-order indices into the stored string,
+    so slicing the original text by (start, end) recovers each surface
+    token regardless of RTL display order."""
+    from stanza_spark.operators.annotate import annotate_sentences
+
+    text = "نشر التقرير وللوزارة في عام 2008."
+    (sid, s_start, s_end, words), = list(annotate_sentences(text, lang="ar"))
+    mwt = [w for w in words if w["is_mwt"]]
+    assert [w["text"] for w in mwt] == ["و", "ل", "الوزارة"]
+    assert [w["upos"] for w in mwt] == ["CCONJ", "ADP", "NOUN"]
+    assert {(w["start"], w["end"]) for w in mwt} == {(12, 20)}
+    assert text[12:20] == "وللوزارة"          # parent token span, logical order
+    for w in words:
+        if not w["is_mwt"]:
+            assert text[w["start"]:w["end"]] == w["text"]
+    # lemma strips the definite article per the lexicon analysis
+    assert mwt[2]["lemma"] == "وزارة"
+    # no-mwt processor set keeps the fused token as ONE word row
+    (_, _, _, plain), = list(
+        annotate_sentences(text, lang="ar", processors={"tokenize", "pos"}))
+    assert [w["text"] for w in plain if w["start"] == 12] == ["وللوزارة"]
