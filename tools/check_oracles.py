@@ -47,6 +47,10 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        # allow naming rotated (pytest-parity) gates for quick iteration
+        queries = {**queries, **entrymod.parity_queries()}
+        oracles = {**oracles, **entrymod.parity_oracle_sql()}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
