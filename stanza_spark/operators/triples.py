@@ -58,6 +58,46 @@ class DepPattern:
     obj_rels: tuple[str, ...] = ("obj", "xcomp", "obl")
     expand_rels: tuple[str, ...] = ("flat",)
 
+    @classmethod
+    def from_semgrex(cls, pattern: str) -> "DepPattern":
+        """Parse the reference's textual Semgrex shape into a DepPattern.
+
+        Supported subset (the KG-extraction shape, semgrex.py:193):
+
+            {upos:VERB}=pred >nsubj|nsubj:pass=subj {} >obl=obj {}
+
+        * the first node is the predicate; ``{attr:V1|V2}`` constrains its
+          UPOS (bare ``{}`` keeps the VERB default);
+        * each ``>rels=name {}`` clause is a child arc — relation
+          alternatives separated by ``|``; the clause named ``subj`` sets
+          subj_rels, ``obj`` sets obj_rels (priority = listed order);
+        * an optional ``>rels=expand {}`` clause overrides the span
+          expansion labels (default flat).
+        """
+        import re as _re
+
+        head = _re.match(r"\s*\{([^}]*)\}=(\w+)", pattern)
+        if not head:
+            raise ValueError(f"semgrex: missing head node in {pattern!r}")
+        attrs, _name = head.groups()
+        kwargs = {}
+        m = _re.search(r"upos:([\w|]+)", attrs)
+        if m:
+            kwargs["pred_upos"] = tuple(m.group(1).split("|"))
+        for rels, name in _re.findall(r">([\w:|]+)=(\w+)\s*\{\s*\}",
+                                      pattern[head.end():]):
+            parts = tuple(rels.split("|"))
+            if name == "subj":
+                kwargs["subj_rels"] = parts
+            elif name == "obj":
+                kwargs["obj_rels"] = parts
+            elif name == "expand":
+                kwargs["expand_rels"] = parts
+            else:
+                raise ValueError(f"semgrex: unknown clause =<{name}> "
+                                 f"(expected subj/obj/expand)")
+        return cls(**kwargs)
+
 
 #: ``{}=source >nsubj {} >obj|xcomp|obl=prio {}=target`` — the reference's
 #: default OpenIE shape (semgrex.py:193 generalized per SURVEY §2.3).

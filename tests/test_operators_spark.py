@@ -837,3 +837,25 @@ def test_image_payload_roundtrip_spark(spark):
         assert r.format == ("png" if d % 2 == 0 else "jpeg")
         assert r.width == d % 1920 + 1
         assert r.height == (d * 7) % 1080 + 1
+
+
+def test_semgrex_string_surface_parses_to_pattern():
+    """The reference's textual pattern shape (semgrex.py:193) round-trips
+    into DepPattern — the default OpenIE pattern and an obl-only variant."""
+    from stanza_spark.operators.triples import (DEFAULT_PATTERN, DepPattern,
+                                                OBL_PATTERN)
+    p = DepPattern.from_semgrex(
+        "{upos:VERB}=pred >nsubj|nsubj:pass=subj {} >obj|xcomp|obl=obj {}")
+    assert p == DEFAULT_PATTERN
+    q = DepPattern.from_semgrex(
+        "{upos:VERB}=pred >nsubj|nsubj:pass=subj {} >obl=obj {}")
+    assert q == OBL_PATTERN
+    r = DepPattern.from_semgrex(
+        "{upos:VERB|AUX}=pred >nsubj=subj {} >nmod=obj {} >flat|compound=expand {}")
+    assert r.pred_upos == ("VERB", "AUX")
+    assert r.obj_rels == ("nmod",)
+    assert r.expand_rels == ("flat", "compound")
+    with pytest.raises(ValueError):
+        DepPattern.from_semgrex(">obj {}")
+    with pytest.raises(ValueError):
+        DepPattern.from_semgrex("{}=pred >obj=zzz {}")
