@@ -144,6 +144,26 @@ def spans(words: DataFrame,
     )
 
 
+def extract_triples_multi(words: DataFrame,
+                          patterns: dict[str, DepPattern],
+                          mentions: DataFrame | None = None) -> DataFrame:
+    """Run a NAMED LIST of dependency patterns in one job — the reference
+    Semgrex surface processes pattern lists per request (semgrex.py:53-102
+    iterates patterns); here each pattern's self-join plan is unioned with
+    a ``pattern`` label column.  Catalyst still plans each branch
+    independently (shared words-table scan, AQE exchange reuse), so k
+    patterns cost at most k narrow join fans over one cached input —
+    never k corpus scans at 100 TB when ``words`` is checkpointed."""
+    out = None
+    for name, pat in patterns.items():
+        t = extract_triples(words, mentions, pattern=pat) \
+            .withColumn("pattern", F.lit(name))
+        out = t if out is None else out.unionByName(t)
+    if out is None:
+        raise ValueError("extract_triples_multi: empty pattern dict")
+    return out
+
+
 def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
                     pattern: DepPattern = DEFAULT_PATTERN) -> DataFrame:
     """words (+ optional decoded mentions for typing) ->

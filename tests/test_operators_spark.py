@@ -859,3 +859,50 @@ def test_semgrex_string_surface_parses_to_pattern():
         DepPattern.from_semgrex(">obj {}")
     with pytest.raises(ValueError):
         DepPattern.from_semgrex("{}=pred >obj=zzz {}")
+
+
+def test_image_codec_property_roundtrip():
+    """Property test: any (width, height) in range and any stack of
+    skippable JPEG segments before SOF0 round-trips through the parser."""
+    import struct
+    from hypothesis import given, settings, strategies as st
+    from stanza_spark.operators.multimodal import parse_image_dims
+
+    @settings(max_examples=200, deadline=None)
+    @given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+           segs=st.lists(
+               st.tuples(st.sampled_from([0xE1, 0xE2, 0xFE, 0xDB]),
+                         st.binary(min_size=0, max_size=40)),
+               max_size=4))
+    def check(w, h, segs):
+        jpeg = b"\xff\xd8"
+        for marker, body in segs:
+            jpeg += bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+        jpeg += (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+                 + struct.pack(">HH", h, w)
+                 + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01" + b"\xff\xd9")
+        assert parse_image_dims(jpeg) == ("jpeg", w, h)
+
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+               + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+        assert parse_image_dims(png) == ("png", w, h)
+
+    check()
+
+
+def test_image_codec_never_crashes_on_garbage():
+    """Truncated/garbage byte strings return None, never raise."""
+    from hypothesis import given, settings, strategies as st
+    from stanza_spark.operators.multimodal import parse_image_dims
+
+    @settings(max_examples=300, deadline=None)
+    @given(b=st.binary(min_size=0, max_size=64))
+    def check(b):
+        out = parse_image_dims(b)
+        assert out is None or (isinstance(out, tuple) and len(out) == 3)
+    check()
+
+    # adversarial prefixes: valid signatures with truncated bodies
+    for p in (b"\xff\xd8", b"\xff\xd8\xff\xc0\x00", b"\x89PNG\r\n\x1a\n",
+              b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00\x00"):
+        assert parse_image_dims(p) is None

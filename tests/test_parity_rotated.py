@@ -62,3 +62,29 @@ def test_driver_registry_is_exactly_fifty():
     assert len(q) == 50
     assert set(entry.oracle_sql()) == set(q)
     assert not set(q) & set(entry.parity_queries())
+
+
+def test_multi_pattern_extraction_matches_union_oracle(spark, oracle_con):
+    """extract_triples_multi (named pattern list, the reference's
+    multi-pattern Semgrex surface) must equal the UNION of the per-pattern
+    DuckDB oracles, each labeled with its pattern name."""
+    from stanza_spark.operators.mentions import decode_mentions
+    from stanza_spark.operators.triples import (DEFAULT_PATTERN, OBL_PATTERN,
+                                                extract_triples_multi)
+    from stanza_spark.queries import _obl_pattern_oracle, _words
+    from stanza_spark.synth import Dialect, gold_triples_select
+
+    normalize = _load_checker().normalize
+    w = _words(spark, SF_SMOKE, cache=True)
+    m = decode_mentions(w).localCheckpoint(eager=True)
+    got = extract_triples_multi(
+        w, {"default": DEFAULT_PATTERN, "obl": OBL_PATTERN}, m).toPandas()
+    d = Dialect("duckdb")
+    sql = (f"SELECT *, 'default' AS pattern FROM ({gold_triples_select(d)}) "
+           f"UNION ALL "
+           f"SELECT *, 'obl' AS pattern FROM ({_obl_pattern_oracle(d)})")
+    odf = oracle_con.execute(sql).fetchdf()
+    a, b = normalize(got), normalize(odf)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    assert a.equals(b)

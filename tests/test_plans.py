@@ -270,3 +270,28 @@ def test_dedup_hot_digest_fixture(spark):
                 F.max("group_size").alias("gs")).collect()[0]
     assert row.kept == 1 and row.gs == 50_000
     assert d.filter("keep").select("doc_id").collect()[0].doc_id == 0
+
+
+def test_learned_decode_plan_is_narrow(spark):
+    """The learned tagger+parser runs in ONE Arrow pass: no joins, no
+    aggregates; the only exchange is the explicit input-spread
+    repartition."""
+    from stanza_spark.queries import q_kg_learned_decode
+    p = _plan(q_kg_learned_decode(spark, SF_SMOKE))
+    body = p.split("== Physical Plan ==")[1]
+    tree = body.split("(1)")[0]
+    assert tree.count("Exchange") == 1          # the input repartition only
+    assert "Join" not in body and "Aggregate" not in body
+    assert "MapInPandas" in body
+
+
+def test_mm_meta_plan_is_narrow_and_pruned(spark):
+    """Header synthesis + codec parse: one narrow pass, only doc_id/text
+    read from the documents scan."""
+    from stanza_spark.queries_textops import q_mm_meta
+    p = _plan(q_mm_meta(spark, SF_SMOKE))
+    body = p.split("== Physical Plan ==")[1]
+    assert "Join" not in body and "Aggregate" not in body
+    read = [l for l in body.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read and "text" in read
+    assert "source" not in read and "lang" not in read   # pruned
