@@ -231,4 +231,16 @@ class KGPipeline:
                         F.col("obj_canon").alias("dst"))),
             ["__graph__"], hook("pagerank"), bucket_col="node")
         self._write_lineage("pagerank", ["graph"])
+
+        # publish the deduplicated (subj, pred, obj) graph as a snapshot
+        # table (north rule: "materialize ... Iceberg graph tables"):
+        # atomic commit, time travel, manifest-stats pruning — the
+        # consumer-facing table, versioned per pipeline run
+        from ..sources.icetable import IceTable
+        ice = IceTable(self.spark, os.path.join(self.base, "ice", "graph"))
+        graph_df = self.read_stage("graph").drop("bucket")
+        if ice.current_version() is None:
+            ice.create(graph_df)
+        else:
+            ice.overwrite(graph_df)
         return self.read_stage("graph")

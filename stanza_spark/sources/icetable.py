@@ -1,0 +1,217 @@
+"""Iceberg-STYLE snapshot tables, library-free (this container carries no
+Iceberg jars — SURVEY §8.2).  NOT wire-compatible with Apache Iceberg;
+what it reproduces is the table-format CONTRACT the north rule's
+"Iceberg graph tables" need:
+
+* **immutable data files + snapshot metadata**: readers never list the
+  data directory — they read the manifest of a committed snapshot, so
+  half-written or orphaned files are invisible;
+* **atomic commits**: a snapshot's metadata file is created with
+  ``O_EXCL`` (exactly one writer can create ``v<N>``) and the current
+  pointer is flipped by ``os.rename`` (atomic on POSIX) — a crash at any
+  point leaves the previous snapshot intact and readable;
+* **optimistic concurrency**: two writers committing from the same base
+  version race on the ``O_EXCL`` create; the loser gets
+  :class:`CommitConflictError` and must re-read + retry (Iceberg's
+  optimistic protocol);
+* **time travel**: ``read(version=k)`` reconstructs any retained
+  snapshot; ``history()`` lists them;
+* **manifest stats pruning**: per-file row counts and per-column min/max
+  are harvested FREE from the parquet footers at commit time, and
+  ``scan(col, lo, hi)`` opens only files whose [min, max] intersects the
+  predicate — file-level pruning before Spark ever plans the scan (the
+  manifest is tiny; the 10^12-row corpus is never listed).
+
+Layout::
+
+    <table>/data/<snap>-<uuid>-partNNN.parquet
+    <table>/metadata/v<N>.json          # snapshot: schema, files, stats
+    <table>/metadata/current            # atomic pointer (rename-flipped)
+
+At cluster scale every operation is a metadata operation except the data
+write itself: append/overwrite write data files once (one Spark job), and
+commit cost is O(files touched), independent of table size.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed the same version first — re-read, retry."""
+
+
+def _footer_stats(path: str) -> dict:
+    """Row count + per-column min/max from the parquet footer (no scan)."""
+    import pyarrow.parquet as pq
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {
+        "rows": md.num_rows,
+        "min": {k: v for k, v in mins.items()
+                if isinstance(v, (int, float, str))},
+        "max": {k: v for k, v in maxs.items()
+                if isinstance(v, (int, float, str))},
+    }
+
+
+class IceTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "metadata")
+        self.data_dir = os.path.join(path, "data")
+
+    # -- snapshot bookkeeping ---------------------------------------------
+
+    def _pointer(self) -> str:
+        return os.path.join(self.meta_dir, "current")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer()) as f:
+                return int(f.read().strip())
+        except OSError:
+            return None
+
+    def _snapshot(self, version: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Committed snapshots, oldest first (metadata only)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        v: int | None = cur
+        while v is not None:
+            s = self._snapshot(v)
+            out.append({k: s[k] for k in
+                        ("version", "parent", "operation", "rows",
+                         "n_files", "committed_at")})
+            v = s["parent"]
+        return list(reversed(out))
+
+    # -- commit protocol ---------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame, snap_tag: str) -> list[str]:
+        """Write df once to a scratch dir, then move the immutable parts
+        into data/ under unique names.  Files are INVISIBLE to readers
+        until a snapshot referencing them commits."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp_{snap_tag}")
+        df.write.parquet(tmp)
+        files = []
+        for i, part in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+            name = f"{snap_tag}-part{i:03d}.parquet"
+            os.replace(part, os.path.join(self.data_dir, name))
+            files.append(name)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return files
+
+    def _commit(self, df: DataFrame, operation: str) -> int:
+        base = self.current_version()
+        os.makedirs(self.meta_dir, exist_ok=True)
+        snap_tag = f"s{(base or 0) + 1}-{uuid.uuid4().hex[:8]}"
+        new_files = self._write_data_files(df, snap_tag)
+        manifest = [{"file": f, **_footer_stats(
+            os.path.join(self.data_dir, f))} for f in new_files]
+        if operation == "append" and base is not None:
+            manifest = self._snapshot(base)["manifest"] + manifest
+        version = (base or 0) + 1
+        snap = {
+            "version": version,
+            "parent": base,
+            "operation": operation,
+            "schema": json.loads(df.schema.json()),
+            "manifest": manifest,
+            "rows": sum(m["rows"] for m in manifest),
+            "n_files": len(manifest),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        vpath = os.path.join(self.meta_dir, f"v{version}.json")
+        try:
+            # O_EXCL create: exactly ONE writer may produce v<version>
+            fd = os.open(vpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{self.path}: version {version} was committed by another "
+                f"writer (base {base}); re-read and retry") from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        # atomic pointer flip — readers see old or new, never in-between
+        tmp_ptr = os.path.join(self.meta_dir, f"_ptr_{snap_tag}")
+        with open(tmp_ptr, "w") as f:
+            f.write(str(version))
+        os.rename(tmp_ptr, self._pointer())
+        return version
+
+    def create(self, df: DataFrame) -> int:
+        if self.current_version() is not None:
+            raise ValueError(f"{self.path}: table exists (use append/overwrite)")
+        return self._commit(df, "overwrite")
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit(df, "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df, "overwrite")
+
+    # -- reads -------------------------------------------------------------
+
+    def _files_for(self, version: int | None,
+                   col: str | None = None, lo=None, hi=None) -> list[str]:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise ValueError(f"{self.path}: no committed snapshot")
+        files = []
+        for m in self._snapshot(v)["manifest"]:
+            if col is not None and col in m["min"] and col in m["max"]:
+                if (hi is not None and m["min"][col] > hi) or \
+                   (lo is not None and m["max"][col] < lo):
+                    continue                      # pruned by manifest stats
+            files.append(os.path.join(self.data_dir, m["file"]))
+        return files
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (time travel with ``version``): only files in the
+        snapshot's manifest — orphans and in-flight writes are invisible."""
+        return self.spark.read.parquet(*self._files_for(version))
+
+    def scan(self, col: str, lo=None, hi=None,
+             version: int | None = None) -> DataFrame:
+        """Manifest-pruned read: files whose [min, max] for ``col`` cannot
+        intersect [lo, hi] are never opened.  Returns the pruned DataFrame
+        (apply the exact predicate on top — pruning is file-granular)."""
+        return self.spark.read.parquet(*self._files_for(version, col, lo, hi))
+
+    def pruned_file_count(self, col: str, lo=None, hi=None) -> tuple[int, int]:
+        """(files read, files total) for a scan — observability for tests."""
+        return (len(self._files_for(None, col, lo, hi)),
+                len(self._files_for(None)))

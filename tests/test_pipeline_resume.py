@@ -31,6 +31,13 @@ def test_full_run_then_idempotent_rerun(spark, base):
     g2 = _graph_rows(p.run())
     assert g1 == g2
     assert len(p.metrics()) == n_metrics
+    # the consumer-facing graph is published as a SNAPSHOT table: one
+    # version per run, same rows, previous snapshot time-travel-readable
+    from stanza_spark.sources.icetable import IceTable
+    ice = IceTable(spark, os.path.join(base, "ice", "graph"))
+    assert ice.current_version() == 2                 # run + re-run
+    assert _graph_rows(ice.read()) == g1
+    assert _graph_rows(ice.read(version=1)) == g1
 
 
 def test_kill_and_resume_matches_uninterrupted(spark, base):
