@@ -51,15 +51,22 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     digest into ONE unsplittable window task; a shuffle join on the same
     key is AQE-skew-splittable (the one-row-per-digest build side gets
     replicated across the split probe partitions)."""
-    h = df.select(F.col(id_col).alias("doc_id"),
-                  F.md5(text_col).alias("text_hash"))
+    h = (df.select(F.col(id_col).alias("doc_id"),
+                   F.md5(text_col).alias("text_hash"))
+         .groupBy("text_hash", "doc_id")
+         .agg(F.count(F.lit(1)).alias("_inst")))
     stats = h.groupBy("text_hash").agg(
-        F.count(F.lit(1)).alias("group_size"),
+        F.sum("_inst").alias("group_size"),
         F.min("doc_id").alias("_min_doc"))
+    # re-expand instance multiplicity; EXACTLY one keep per digest even if
+    # the same doc_id row appears twice upstream (idx 1 of the min doc)
     return (
         h.join(stats, "text_hash")
+        .select("doc_id", "text_hash", "group_size", "_min_doc",
+                F.explode(F.sequence(F.lit(1), F.col("_inst"))).alias("_idx"))
         .select("doc_id", "text_hash", "group_size",
-                (F.col("doc_id") == F.col("_min_doc")).alias("keep"))
+                ((F.col("doc_id") == F.col("_min_doc"))
+                 & (F.col("_idx") == 1)).alias("keep"))
     )
 
 
@@ -242,15 +249,23 @@ def sentence_dedup(sentences: DataFrame) -> DataFrame:
     (tests/test_plans.py asserts this, plus a 50k-copy hot fixture).
 
     -> (url, sent_id, text_hash, n_copies, keep)."""
-    h = sentences.select("url", "sent_id", F.md5("text").alias("text_hash"))
+    h = (sentences.select("url", "sent_id", F.md5("text").alias("text_hash"))
+         .groupBy("text_hash", "url", "sent_id")
+         .agg(F.count(F.lit(1)).alias("_inst")))
     stats = h.groupBy("text_hash").agg(
-        F.count(F.lit(1)).alias("n_copies"),
+        F.sum("_inst").alias("n_copies"),
         F.min(F.struct("url", "sent_id")).alias("_first"))
+    # the pre-aggregate keeps row multiplicity exact while guaranteeing
+    # EXACTLY one keep=1 per digest even when an identical (url, sent_id,
+    # text) row is duplicated upstream (instance idx 1 of the winner) —
+    # and it shrinks a hot digest BEFORE the digest-level shuffle
     return (
         h.join(stats, "text_hash")
+        .select("url", "sent_id", "text_hash", "n_copies", "_first",
+                F.explode(F.sequence(F.lit(1), F.col("_inst"))).alias("_idx"))
         .select("url", "sent_id", "text_hash", "n_copies",
-                (F.struct("url", "sent_id") == F.col("_first"))
-                .cast("int").alias("keep"))
+                ((F.struct("url", "sent_id") == F.col("_first"))
+                 & (F.col("_idx") == 1)).cast("int").alias("keep"))
     )
 
 

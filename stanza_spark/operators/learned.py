@@ -157,11 +157,18 @@ SCHEMA = ("url string, sent_id int, word_id int, word string, "
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    # only len(PATTERNS) distinct inputs exist — decode each ONCE per
+    # worker (executor-local memo; the corpus maps doc -> pattern_id, and
+    # re-running the trellis + MST per row would be pure wasted CPU)
+    memo: dict[int, tuple] = {}
     for pdf in batches:
         rows = []
         for url, pid in zip(pdf["url"], pdf["pattern_id"]):
-            toks = PATTERNS[int(pid)]
-            tags, heads = analyze_tokens(toks)
+            pid = int(pid)
+            if pid not in memo:
+                toks = PATTERNS[pid]
+                memo[pid] = (toks, *analyze_tokens(toks))
+            toks, tags, heads = memo[pid]
             rows.extend((url, 0, i + 1, toks[i], tags[i], heads[i])
                         for i in range(len(toks)))
         yield pd.DataFrame(rows, columns=["url", "sent_id", "word_id",

@@ -238,9 +238,5 @@ class KGPipeline:
         # consumer-facing table, versioned per pipeline run
         from ..sources.icetable import IceTable
         ice = IceTable(self.spark, os.path.join(self.base, "ice", "graph"))
-        graph_df = self.read_stage("graph").drop("bucket")
-        if ice.current_version() is None:
-            ice.create(graph_df)
-        else:
-            ice.overwrite(graph_df)
+        ice.overwrite(self.read_stage("graph").drop("bucket"))
         return self.read_stage("graph")

@@ -6,10 +6,14 @@ what it reproduces is the table-format CONTRACT the north rule's
 * **immutable data files + snapshot metadata**: readers never list the
   data directory — they read the manifest of a committed snapshot, so
   half-written or orphaned files are invisible;
-* **atomic commits**: a snapshot's metadata file is created with
-  ``O_EXCL`` (exactly one writer can create ``v<N>``) and the current
-  pointer is flipped by ``os.rename`` (atomic on POSIX) — a crash at any
-  point leaves the previous snapshot intact and readable;
+* **atomic commits**: the COMMIT POINT is the appearance of a COMPLETE
+  ``v<N>.json`` — the snapshot is serialized to a scratch file first and
+  published with ``os.link`` (atomic, fails-if-exists), so exactly one
+  writer can own version N and a partially-written metadata file can
+  never become visible; the ``current`` pointer is only a hint
+  (``current_version`` probes forward past it), so a crash between the
+  link and the pointer flip neither loses the commit nor wedges future
+  writers;
 * **optimistic concurrency**: two writers committing from the same base
   version race on the ``O_EXCL`` create; the loser gets
   :class:`CommitConflictError` and must re-read + retry (Iceberg's
@@ -93,11 +97,20 @@ class IceTable:
         return os.path.join(self.meta_dir, "current")
 
     def current_version(self) -> int | None:
+        """Latest COMMITTED version.  The pointer file is a hint; the
+        truth is the set of v<N>.json files (each is complete by
+        construction — published via os.link of a fully-written scratch
+        file).  Probing forward past the hint makes a crash between
+        link and pointer-flip harmless: the next reader/writer still
+        sees the committed snapshot."""
         try:
             with open(self._pointer()) as f:
-                return int(f.read().strip())
+                v = int(f.read().strip())
         except OSError:
-            return None
+            v = 0
+        while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
+            v += 1
+        return v if v > 0 else None
 
     def _snapshot(self, version: int) -> dict:
         with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
@@ -135,8 +148,14 @@ class IceTable:
         shutil.rmtree(tmp, ignore_errors=True)
         return files
 
-    def _commit(self, df: DataFrame, operation: str) -> int:
-        base = self.current_version()
+    def _commit(self, df: DataFrame, operation: str,
+                expected_base: int | None = None) -> int:
+        """``expected_base`` (optimistic CAS): commit only as
+        ``expected_base + 1`` — if another writer got there first the
+        os.link below fails and CommitConflictError tells the caller to
+        re-read and retry.  Default: commit on top of the latest."""
+        base = self.current_version() if expected_base is None \
+            else (expected_base or None)
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_tag = f"s{(base or 0) + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self._write_data_files(df, snap_tag)
@@ -156,16 +175,23 @@ class IceTable:
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
         vpath = os.path.join(self.meta_dir, f"v{version}.json")
+        # serialize FULLY to a scratch file, then publish with os.link:
+        # atomic + fails-if-exists, so (a) exactly one writer owns version
+        # N and (b) a half-written metadata file can never become visible
+        # — the link IS the commit point
+        scratch = os.path.join(self.meta_dir, f"_snap_{snap_tag}.json")
+        with open(scratch, "w") as f:
+            json.dump(snap, f)
         try:
-            # O_EXCL create: exactly ONE writer may produce v<version>
-            fd = os.open(vpath, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            os.link(scratch, vpath)
         except FileExistsError:
+            os.unlink(scratch)
             raise CommitConflictError(
                 f"{self.path}: version {version} was committed by another "
                 f"writer (base {base}); re-read and retry") from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(snap, f)
-        # atomic pointer flip — readers see old or new, never in-between
+        os.unlink(scratch)
+        # pointer flip is a best-effort HINT (current_version probes past
+        # it) — a crash here neither loses nor wedges the commit
         tmp_ptr = os.path.join(self.meta_dir, f"_ptr_{snap_tag}")
         with open(tmp_ptr, "w") as f:
             f.write(str(version))
@@ -178,7 +204,17 @@ class IceTable:
         return self._commit(df, "overwrite")
 
     def append(self, df: DataFrame) -> int:
-        return self._commit(df, "append")
+        base = self.current_version()
+        if base is not None:
+            committed = self._snapshot(base)["schema"]["fields"]
+            incoming = json.loads(df.schema.json())["fields"]
+            want = [(f["name"], f["type"]) for f in committed]
+            got = [(f["name"], f["type"]) for f in incoming]
+            if want != got:
+                raise ValueError(
+                    f"{self.path}: append schema mismatch — table has "
+                    f"{want}, incoming {got}; evolve via overwrite()")
+        return self._commit(df, "append", expected_base=base)
 
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df, "overwrite")

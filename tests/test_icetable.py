@@ -45,41 +45,55 @@ def test_readers_never_see_uncommitted_or_orphan_files(spark, tmp_path):
 
 
 def test_concurrent_commit_conflict(spark, tmp_path):
-    """Two writers from the same base version: exactly one wins; the loser
-    gets CommitConflictError and can retry from the new base."""
+    """Two writers racing from the same base version (optimistic CAS):
+    exactly one wins the os.link; the loser gets CommitConflictError and
+    succeeds on retry after re-reading the new base."""
     path = str(tmp_path / "t")
     a, b = IceTable(spark, path), IceTable(spark, path)
     a.create(_df(spark, 0, 10))
-    # writer b stages its snapshot metadata first (wins the O_EXCL race)
-    b.append(_df(spark, 10, 20))
-    # writer a believed base=1 and tries to commit v2 as well
-    snap_tag = "race-test"
-    files = a._write_data_files(_df(spark, 20, 30), snap_tag)
-    vpath = os.path.join(a.meta_dir, "v2.json")
-    assert os.path.exists(vpath)                      # b already owns v2
+    stale_base = a.current_version()                  # a reads base=1 ...
+    b.append(_df(spark, 10, 20))                      # ... b commits v2 first
     with pytest.raises(CommitConflictError):
-        # full protocol: _commit recomputes base=2 -> targets v3; force the
-        # conflict by writing v3 first, as a racing third writer would
-        with open(os.path.join(a.meta_dir, "v3.json"), "x") as f:
-            json.dump({"placeholder": True}, f)
-        a.append(_df(spark, 30, 40))
-    # retry after re-read succeeds on the next free version
-    os.remove(os.path.join(a.meta_dir, "v3.json"))
-    v = a.append(_df(spark, 30, 40))
+        a._commit(_df(spark, 20, 30), "append", expected_base=stale_base)
+    # retry with a fresh read succeeds on the next version
+    v = a.append(_df(spark, 20, 30))
     assert v == 3
     assert a.read().count() == 30                     # 10 + 10 + 10
 
 
-def test_crashed_pointer_flip_leaves_previous_snapshot(spark, tmp_path):
-    """A crash AFTER v2.json exists but BEFORE the pointer flip: readers
-    still see v1; the next writer detects v2 as taken (conflict), retries
-    at v3 after re-reading."""
+def test_crashed_pointer_flip_does_not_lose_or_wedge_commits(spark, tmp_path):
+    """A crash AFTER the v2 metadata link but BEFORE the pointer flip:
+    the commit point is the link, so readers PROBE past the stale hint
+    and see v2, and the next writer targets v3 — no livelock (review
+    finding r4)."""
     t = IceTable(spark, str(tmp_path / "t"))
     t.create(_df(spark, 0, 5))
-    with open(os.path.join(t.meta_dir, "v2.json"), "x") as f:
-        json.dump({"version": 2, "parent": 1, "crashed": True}, f)
-    assert t.current_version() == 1
-    assert t.read().count() == 5
+    t.append(_df(spark, 5, 10))
+    # simulate the crash: rewind the pointer hint to v1 (the link for v2
+    # already happened — exactly the post-crash on-disk state)
+    with open(os.path.join(t.meta_dir, "_rewind"), "w") as f:
+        f.write("1")
+    os.rename(os.path.join(t.meta_dir, "_rewind"), t._pointer())
+    assert t.current_version() == 2                   # probed past the hint
+    assert t.read().count() == 10
+    v = t.append(_df(spark, 10, 15))                  # no CommitConflict loop
+    assert v == 3
+    assert t.read().count() == 15
+
+
+def test_append_schema_mismatch_rejected(spark, tmp_path):
+    """append() must refuse a DataFrame whose schema differs from the
+    committed table schema (silent manifest mixing was review finding
+    r4); overwrite() is the schema-evolution path."""
+    t = IceTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, 5, 10).withColumn("extra", F.lit(1)))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.append(_df(spark, 5, 10).select("val", "k"))   # order matters
+    v = t.overwrite(_df(spark, 0, 5).withColumn("extra", F.lit(1)))
+    assert v == 2
+    assert t.read().columns == ["k", "val", "extra"]
 
 
 def test_manifest_stats_pruning(spark, tmp_path):

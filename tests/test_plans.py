@@ -295,3 +295,26 @@ def test_mm_meta_plan_is_narrow_and_pruned(spark):
     read = [l for l in body.splitlines() if "ReadSchema" in l][0]
     assert "doc_id" in read and "text" in read
     assert "source" not in read and "lang" not in read   # pruned
+
+
+def test_dedup_exactly_one_keep_with_duplicated_rows(spark):
+    """An identical input row duplicated upstream (re-ingest, non-deduped
+    union) must still yield EXACTLY one keep per digest (review finding
+    r4: the equality-based keep rule alone marks every copy of the
+    winner)."""
+    from stanza_spark.operators.dedup import exact_dedup, sentence_dedup
+    sents = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 1, "x"), ("b", 2, "x"), ("c", 0, "y")],
+        "url string, sent_id int, text string")
+    out = sentence_dedup(sents)
+    assert out.count() == 4                      # row multiplicity preserved
+    assert out.agg(F.sum("keep")).collect()[0][0] == 2   # one per digest
+    kept = out.filter("keep = 1").select("url", "sent_id").collect()
+    assert {(r.url, r.sent_id) for r in kept} == {("a", 1), ("c", 0)}
+
+    docs = spark.createDataFrame([(1, "t"), (1, "t"), (2, "t")],
+                                 "doc_id long, text string")
+    d = exact_dedup(docs)
+    assert d.count() == 3
+    assert d.agg(F.sum(F.col("keep").cast("int"))).collect()[0][0] == 1
+    assert d.agg(F.max("group_size")).collect()[0][0] == 3
