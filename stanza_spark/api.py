@@ -144,6 +144,30 @@ class Pipeline:
     def bulk_process(self, texts: list[str]) -> DataFrame:
         return self.process(list(texts))
 
+    def triples(self, docs, pattern=None) -> DataFrame:
+        """Dependency-pattern triple extraction from the facade — the
+        reference's Semgrex entry point (semgrex.py:193).  ``pattern``
+        accepts a :class:`~stanza_spark.operators.triples.DepPattern`, a
+        Semgrex-style string (parsed via ``DepPattern.from_semgrex``), or
+        a name->pattern dict (multi-pattern run, output gains a
+        ``pattern`` column)."""
+        if "depparse" not in self.processors:
+            raise PipelineRequirementsException(
+                "triples requires the depparse processor")
+        from .operators.mentions import decode_mentions
+        from .operators.triples import (DEFAULT_PATTERN, DepPattern,
+                                        extract_triples,
+                                        extract_triples_multi)
+        w = self.process(docs).localCheckpoint(eager=True)
+        m = decode_mentions(w) if "ner" in self.processors else None
+        if isinstance(pattern, dict):
+            pats = {k: (DepPattern.from_semgrex(v) if isinstance(v, str)
+                        else v) for k, v in pattern.items()}
+            return extract_triples_multi(w, pats, m)
+        if isinstance(pattern, str):
+            pattern = DepPattern.from_semgrex(pattern)
+        return extract_triples(w, m, pattern=pattern or DEFAULT_PATTERN)
+
     def conllu(self, text: str) -> str:
         """Reference {:C} rendering of one document (requires the full
         pipeline: golden-format comments need constituency+sentiment)."""

@@ -906,3 +906,25 @@ def test_image_codec_never_crashes_on_garbage():
     for p in (b"\xff\xd8", b"\xff\xd8\xff\xc0\x00", b"\x89PNG\r\n\x1a\n",
               b"\x89PNG\r\n\x1a\n\x00\x00\x00\x0dIHDR\x00\x00"):
         assert parse_image_dims(p) is None
+
+
+def test_facade_triples_with_semgrex_string(spark):
+    """Pipeline.triples accepts DepPattern objects, Semgrex strings and
+    name->pattern dicts — the reference's user entry point for custom
+    dependency patterns."""
+    from stanza_spark.api import Pipeline, PipelineRequirementsException
+    nlp = Pipeline(spark)
+    doc = "Obama attended Harvard in 1995."
+    t = nlp.triples(doc)
+    assert [(r.subj, r.pred, r.obj) for r in t.collect()] == \
+        [("Obama", "attend", "Harvard")]
+    t2 = nlp.triples(doc, pattern="{upos:VERB}=pred >nsubj=subj {} >obl=obj {}")
+    assert [(r.subj, r.pred, r.obj) for r in t2.collect()] == \
+        [("Obama", "attend", "1995")]
+    t3 = nlp.triples(doc, pattern={
+        "default": "{upos:VERB}=pred >nsubj=subj {} >obj|xcomp|obl=obj {}",
+        "obl": "{upos:VERB}=pred >nsubj=subj {} >obl=obj {}"})
+    got = {(r.pattern, r.obj) for r in t3.collect()}
+    assert got == {("default", "Harvard"), ("obl", "1995")}
+    with pytest.raises(PipelineRequirementsException):
+        Pipeline(spark, processors="tokenize,mwt,pos,lemma").triples(doc)
