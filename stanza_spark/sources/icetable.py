@@ -110,7 +110,17 @@ class IceTable:
             v = 0
         while os.path.exists(os.path.join(self.meta_dir, f"v{v + 1}.json")):
             v += 1
-        return v if v > 0 else None
+        if v > 0:
+            return v
+        # hint missing/stale below the retained range (e.g. after
+        # expire_snapshots removed v1): fall back to a directory scan
+        try:
+            versions = [int(f[1:-5]) for f in os.listdir(self.meta_dir)
+                        if f.startswith("v") and f.endswith(".json")
+                        and f[1:-5].isdigit()]
+        except OSError:
+            return None
+        return max(versions) if versions else None
 
     def _snapshot(self, version: int) -> dict:
         with open(os.path.join(self.meta_dir, f"v{version}.json")) as f:
@@ -251,3 +261,51 @@ class IceTable:
         """(files read, files total) for a scan — observability for tests."""
         return (len(self._files_for(None, col, lo, hi)),
                 len(self._files_for(None)))
+
+    # -- maintenance -------------------------------------------------------
+
+    def compact(self, target_partitions: int = 1) -> int:
+        """Small-file compaction: rewrite the CURRENT snapshot's data into
+        ``target_partitions`` files and commit it as a new snapshot
+        (operation 'compact').  Readers are never disturbed — old
+        snapshots keep referencing the old files until expired.  At
+        cluster scale this is the routine append-heavy-table maintenance
+        job (many tiny commit files -> few scan-efficient ones)."""
+        return self._commit(self.read().repartition(target_partitions),
+                            "compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the last ``keep_last`` snapshots and DELETE data
+        files no retained snapshot references (plus metadata of expired
+        versions).  Time travel to expired versions stops working — that
+        is the contract (Iceberg's expire_snapshots).  Returns counts."""
+        cur = self.current_version()
+        if cur is None:
+            return {"expired_versions": 0, "deleted_files": 0}
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep:
+            live |= {m["file"] for m in self._snapshot(v)["manifest"]}
+        deleted = 0
+        for f in os.listdir(self.data_dir):
+            if f not in live:
+                os.unlink(os.path.join(self.data_dir, f))
+                deleted += 1
+        expired = 0
+        v = 1
+        while v < min(keep):
+            p = os.path.join(self.meta_dir, f"v{v}.json")
+            if os.path.exists(p):
+                os.unlink(p)
+                expired += 1
+            v += 1
+        # retained snapshots must not dangle on an expired parent
+        for v in sorted(keep):
+            s = self._snapshot(v)
+            if s["parent"] is not None and s["parent"] not in keep:
+                s["parent"] = None
+                tmp = os.path.join(self.meta_dir, f"_rw_{v}.json")
+                with open(tmp, "w") as f:
+                    json.dump(s, f)
+                os.replace(tmp, os.path.join(self.meta_dir, f"v{v}.json"))
+        return {"expired_versions": expired, "deleted_files": deleted}

@@ -122,3 +122,33 @@ def test_schema_recorded_per_snapshot(spark, tmp_path):
     assert [f["name"] for f in s2] == ["k", "val", "extra"]
     # time-travel read uses the old files (and so the old schema)
     assert t.read(version=1).columns == ["k", "val"]
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    """Maintenance ops: compact rewrites the current snapshot into fewer
+    files as a NEW snapshot (old versions untouched); expire_snapshots
+    drops old versions and physically deletes data files no retained
+    snapshot references."""
+    t = IceTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 40).repartition(4))
+    t.append(_df(spark, 40, 80).repartition(4))
+    assert t._snapshot(2)["n_files"] == 8
+    v = t.compact(target_partitions=1)
+    assert v == 3
+    assert t._snapshot(3)["n_files"] == 1
+    assert t.read().count() == 80
+    assert t.read(version=2).count() == 80            # old snapshot intact
+
+    n_data_before = len(os.listdir(t.data_dir))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["expired_versions"] == 2
+    assert out["deleted_files"] == n_data_before - 1  # only the compacted file lives
+    assert len(os.listdir(t.data_dir)) == 1
+    assert t.current_version() == 3
+    assert t.read().count() == 80                     # current unaffected
+    assert t.history()[0]["version"] == 3             # no dangling parent
+    # and the table keeps working after expiry (hint loss tolerated too)
+    os.remove(t._pointer())
+    assert t.current_version() == 3
+    assert t.append(_df(spark, 80, 90)) == 4
+    assert t.read().count() == 90
