@@ -318,3 +318,23 @@ def test_dedup_exactly_one_keep_with_duplicated_rows(spark):
     assert d.count() == 3
     assert d.agg(F.sum(F.col("keep").cast("int"))).collect()[0][0] == 1
     assert d.agg(F.max("group_size")).collect()[0][0] == 3
+
+
+def test_no_cartesian_or_row_python_in_any_gate_plan(spark):
+    """Structural audit of EVERY batch gate plan in the driver registry:
+    no CartesianProduct, no row-at-a-time Python UDF (BatchEvalPython)
+    anywhere — Python only enters through Arrow-vectorized nodes
+    (MapInPandas / ArrowEvalPython / FlatMapGroupsInPandas).  Streaming
+    gates are exercised end-to-end elsewhere (they execute on build)."""
+    import __spark_entry__ as entry
+    skip = {"kg_triples_stream", "kg_stream_windows"}
+    offenders = []
+    for name, fn in entry.queries().items():
+        if name in skip:
+            continue
+        p = _plan(fn(spark, SF_SMOKE))
+        if "CartesianProduct" in p:
+            offenders.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in p:
+            offenders.append((name, "BatchEvalPython"))
+    assert offenders == []
