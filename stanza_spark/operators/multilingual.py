@@ -79,5 +79,8 @@ def route_by_langid(pages_df: DataFrame, spark,
     pred = langid(p.select(F.col("url").alias("doc_id"), "text"),
                   spark).select(F.col("doc_id").alias("url"),
                                 F.col("lang_pred").alias("lang"))
-    routed = p.join(pred, "url")
+    # both routing branches (full-pipeline slice + tokenize-only rest)
+    # consume the prediction join — eager-checkpoint so langid runs once,
+    # not per branch (measured ~10 % end-to-end at sf0.1/local[32])
+    routed = p.join(pred, "url").localCheckpoint(eager=True)
     return route_and_annotate(routed, full_langs)
