@@ -66,9 +66,9 @@ def entry(spark: SparkSession) -> DataFrame:
 DRIVER_GATES = [
     # never driver-verified before r4 (r3 registry tail) + r4 newcomers
     "text_ann_ivf_kmeans", "text_curation_keep",
-    "kg_triples_pattern", "kg_pos_lemma_ar", "kg_learned_decode",
-    "kg_stream_windows",
-    "text_mm_meta", "text_langid", "text_quality", "text_token_counts",
+    "kg_triples_pattern", "kg_pos_lemma_ar", "kg_pos_lemma_zh",
+    "kg_learned_decode", "kg_stream_windows",
+    "text_mm_meta", "text_langid", "text_quality",
     "text_fingerprints", "text_ann_topk", "text_ann_signlsh",
     "text_ann_ivf",
     # KG pipeline core
@@ -103,6 +103,8 @@ ROTATED_GATES = [
     "rel_event_props", "rel_users_per_event_type", "rel_event_unpivot",
     "text_dedup_ngram_jaccard", "text_minhash_signatures", "text_simhash",
     "text_embedding_nn",
+    "text_token_counts",   # trivial split-count op; slot given to the zh
+                           # segmentation gate (kg_pos_lemma_zh)
 ]
 
 

@@ -160,6 +160,57 @@ def split_sentences(text: str):
     return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
 
 
+def zh_max_match(text: str, start: int, end: int):
+    """Greedy longest-prefix dictionary segmentation of text[start:end] —
+    the classical max-match stand-in for the reference's neural Chinese
+    char classifier (UNSPACED input; the reference's hardest tokenizer
+    case).  Digit runs are one NUM token; whitespace is skipped; unknown
+    chars fall back to single-character words.  The dict carries
+    single-char PREFIXES of its multi-char entries, so longest-match is
+    load-bearing, not incidental."""
+    out = []
+    i = start
+    while i < end:
+        ch = text[i]
+        if ch.isspace():
+            i += 1
+            continue
+        if ch.isdigit():
+            j = i
+            while j < end and text[j].isdigit():
+                j += 1
+            out.append((text[i:j], i, j))
+            i = j
+            continue
+        for L in range(min(V.ZH_SEG_MAX_LEN, end - i), 0, -1):
+            if text[i:i + L] in V.ZH_SEG_DICT:
+                out.append((text[i:i + L], i, i + L))
+                i += L
+                break
+        else:
+            out.append((ch, i, i + 1))
+            i += 1
+    return out
+
+
+def split_sentences_zh(text: str):
+    """Chinese sentence split + max-match tokenization: same
+    (start, end, [(tok, a, b)]) protocol as split_sentences; sentence
+    boundaries fall after CJK terminators (。！？), paragraph breaks
+    still force a boundary."""
+    sents = []
+    for pstart, pend in split_paragraphs(text):
+        cur = []
+        for tok, a, b in zh_max_match(text, pstart, pend):
+            cur.append((tok, a, b))
+            if tok in SENT_END:
+                sents.append(cur)
+                cur = []
+        if cur:
+            sents.append(cur)
+    return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
+
+
 # ---------------------------------------------------------------------------
 # MWT expansion (op 13)
 # ---------------------------------------------------------------------------
@@ -205,6 +256,14 @@ def tag_word(text: str, lang: str = "en"):
         if text[0].isupper():
             return ("NOUN", "NN", "_", text)
         return ("X", "XY", "_", text)
+    if lang == "zh":
+        if text in V.ZH_LEXICON:
+            return V.ZH_LEXICON[text]
+        if NUM_PAT.match(text):
+            return ("NUM", "CD", "NumForm=Digit|NumType=Card", text)
+        if len(text) == 1 and not text.isalnum():
+            return ("PUNCT", "PU", "_", text)
+        return ("NOUN", "NN", "_", text)
     if lang == "ar":
         # no letter case in Arabic script: lexicon keys are surface forms
         if text in V.AR_LEXICON:
@@ -526,8 +585,16 @@ def annotate_sentences(text: str, pretokenized: bool = False,
         parse_fn, ner_fn = parse_sentence, tag_ner
     if variant is not None:
         splitter = TOKENIZER_VARIANTS[variant]
+    elif pretokenized:
+        splitter = split_pretokenized
+    elif lang == "zh":
+        # unspaced CJK text: dictionary max-match segmentation (the
+        # reference's zh tokenizer is a neural char classifier — this is
+        # the deterministic stand-in; spaced zh still tokenizes fine,
+        # whitespace is skipped)
+        splitter = split_sentences_zh
     else:
-        splitter = split_pretokenized if pretokenized else split_sentences
+        splitter = split_sentences
     tag = has("pos") or has("lemma")
     for sent_id, (s_start, s_end, toks) in enumerate(splitter(text)):
         words = []

@@ -22,6 +22,7 @@ from .synth import (
     gold_deps_full_select, gold_coref_select, gold_coref_chains_select,
     gold_words_routed_select, gold_pos_lemma_de_select,
     gold_pos_lemma_fr_select, gold_pos_lemma_ar_select,
+    gold_pos_lemma_zh_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -458,6 +459,33 @@ def q_kg_pos_lemma_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_mwt").cast("int").alias("is_mwt"))
 
 
+def q_kg_pos_lemma_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chinese full-pipeline annotations (op 7/8 FIFTH language): UNSPACED
+    CJK text through greedy longest-prefix dictionary segmentation — the
+    deterministic stand-in for the reference's neural zh char classifier,
+    and the hardest tokenizer case (every word boundary is the
+    segmenter's decision; the dict carries single-char prefixes of its
+    multi-char words so longest-match semantics are value-checked).  Twin
+    corpus from doc_id arithmetic in both engines, like kg_pos_lemma_ar."""
+    from .operators.annotate import annotate
+    from .sources.pages import documents
+    from .synth import template_text_expr
+    from . import vocab as V
+
+    d = Dialect("spark")
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    zh = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
+        "concat('https://zh.example.org/d/', CAST(doc_id AS STRING)) AS url",
+        "'zh' AS lang",
+        f"{template_text_expr(d, V.ZH_SEG_TEMPLATE[0], '0')} AS text",
+    )
+    w = annotate(zh, en_only=False)
+    return w.select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "xpos", "feats", "lemma",
+        F.col("is_mwt").cast("int").alias("is_mwt"))
+
+
 def q_kg_learned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-scorer decode gate (op 14/17 beyond the grammar): committed
     weight tables -> Viterbi tags -> tag-pair arc scores -> single-root
@@ -538,6 +566,7 @@ KG_QUERIES = {
     "kg_pos_lemma_de": q_kg_pos_lemma_de,
     "kg_pos_lemma_fr": q_kg_pos_lemma_fr,
     "kg_pos_lemma_ar": q_kg_pos_lemma_ar,
+    "kg_pos_lemma_zh": q_kg_pos_lemma_zh,
     "kg_learned_decode": q_kg_learned_decode,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
@@ -626,6 +655,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_pos_lemma_de": gold_pos_lemma_de_select(d),
         "kg_pos_lemma_fr": gold_pos_lemma_fr_select(d),
         "kg_pos_lemma_ar": gold_pos_lemma_ar_select(d),
+        "kg_pos_lemma_zh": gold_pos_lemma_zh_select(d),
         "kg_learned_decode": _learned_decode_oracle(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),

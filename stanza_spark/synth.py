@@ -437,9 +437,9 @@ def gold_enhanced_deps_select(d: Dialect) -> str:
 MWT_LANGS = ("de", "fr")
 
 
-def _lang_word_pattern(lang: str):
+def _lang_word_pattern(lang: str, template=None):
     from .operators.annotate import annotate_sentences
-    parts, _ = V.NON_EN_TEMPLATES[lang]
+    parts, _ = V.NON_EN_TEMPLATES[lang] if template is None else template
     text = "".join("1111" if p == "Y" else p for p in parts)
     sents = list(annotate_sentences(text, lang=lang))
     assert len(sents) == 1
@@ -469,7 +469,8 @@ def gold_words_routed_select(d: Dialect) -> str:
 
 def _gold_pos_lemma_lang_select(d: Dialect, lang: str,
                                 inner: str | None = None,
-                                lang_filter: bool = True) -> str:
+                                lang_filter: bool = True,
+                                template=None) -> str:
     """(url, sent_id, word_id, word, upos, xpos, feats, lemma, is_mwt)
     for one routed language — the lexicon annotations as template
     constants (incl. live MWT expansion positions).  ``inner`` overrides
@@ -479,7 +480,7 @@ def _gold_pos_lemma_lang_select(d: Dialect, lang: str,
     where = f" WHERE lang = {d.str_lit(lang)}" if lang_filter else ""
     y = slot_expr(d, "Y", "sent_id")
     branches = []
-    for i, w in enumerate(_lang_word_pattern(lang)):
+    for i, w in enumerate(_lang_word_pattern(lang, template)):
         if w["text"] == "1111":
             word, lemma = y, y
         else:
@@ -524,6 +525,27 @@ def gold_pos_lemma_ar_select(d: Dialect) -> str:
     >2-way token split (test_arabic_pipeline.py golden shape)."""
     return _gold_pos_lemma_lang_select(d, "ar", inner=ar_pages_select(d),
                                        lang_filter=False)
+
+
+def zh_pages_select(d: Dialect) -> str:
+    """Chinese UNSPACED twin corpus (fifth full language): one page per
+    document from ZH_SEG_TEMPLATE — no whitespace anywhere, so the
+    max-match segmenter is load-bearing for every token boundary."""
+    text = template_text_expr(d, V.ZH_SEG_TEMPLATE[0], "0")
+    url = f"concat('https://zh.example.org/d/', {d.cast_str('doc_id')})"
+    return (f"SELECT doc_id, {url} AS url, 'zh' AS lang, 0 AS sent_id, "
+            f"{text} AS text FROM documents")
+
+
+def gold_pos_lemma_zh_select(d: Dialect) -> str:
+    """Chinese segmentation gold over the unspaced twin corpus: word
+    boundaries at fixed max-match positions (数据|报告|于|Y|年|发布|。 —
+    longest-prefix dictionary semantics; the dict holds single-char
+    prefixes of its multi-char words, so each boundary proves the greedy
+    longest match, not mere membership)."""
+    return _gold_pos_lemma_lang_select(d, "zh", inner=zh_pages_select(d),
+                                       lang_filter=False,
+                                       template=V.ZH_SEG_TEMPLATE)
 
 
 def alias_values_cte(d: Dialect) -> str:

@@ -469,6 +469,33 @@ AR_MWT_DICT = {
     "بالوزارة": ["ب", "الوزارة"],
 }
 
+# --------------------------------------------------------------------------
+# Chinese "model" (fifth full language, round 4): UNSPACED text — the
+# reference's hardest tokenizer case (its zh tokenizer is a neural char
+# classifier; the deterministic stand-in is greedy longest-prefix
+# dictionary matching, the classical max-match segmenter).  The corpus
+# zh template (NON_EN_TEMPLATES['zh']) stays pre-spaced for the routing
+# gates; the segmentation gate synthesizes an UNSPACED twin corpus from
+# ZH_SEG_TEMPLATE instead.  The dict deliberately contains single-char
+# PREFIXES of its multi-char words (发 vs 发布, 数 vs 数据) so the gate
+# actually proves longest-match semantics, not just membership.
+# --------------------------------------------------------------------------
+
+ZH_SEG_TEMPLATE = (["数据报告于", "Y", "年发布。"], None)
+
+ZH_SEG_DICT = {"数据", "报告", "于", "年", "发布", "发", "布", "数",
+               "数据库", "报告书"}
+ZH_SEG_MAX_LEN = 3
+
+# word -> (upos, xpos, feats, lemma); zh lemma = surface (no inflection)
+ZH_LEXICON = {
+    "数据": ("NOUN", "NN", "_", "数据"),
+    "报告": ("NOUN", "NN", "_", "报告"),
+    "于": ("ADP", "P", "_", "于"),
+    "年": ("NOUN", "NN", "_", "年"),
+    "发布": ("VERB", "VV", "_", "发布"),
+}
+
 # English stopwords for quality scoring / language-id heuristics.
 STOPWORDS = {
     "en": ["the", "and", "of", "in", "to", "was", "is", "for", "at", "a"],

@@ -348,3 +348,35 @@ def test_arabic_multi_clitic_mwt_and_rtl_offsets():
     (_, _, _, plain), = list(
         annotate_sentences(text, lang="ar", processors={"tokenize", "pos"}))
     assert [w["text"] for w in plain if w["start"] == 12] == ["وللوزارة"]
+
+
+def test_chinese_max_match_segmentation():
+    """Fifth language (r4): UNSPACED Chinese segments by greedy
+    longest-prefix dictionary match with exact offsets; the dict contains
+    single-char prefixes of its multi-char words, so every multi-char
+    boundary proves longest-match semantics."""
+    from stanza_spark.operators.annotate import (annotate_sentences,
+                                                 zh_max_match)
+
+    text = "数据报告于2008年发布。"
+    (sid, s_start, s_end, words), = list(annotate_sentences(text, lang="zh"))
+    assert [w["text"] for w in words] == \
+        ["数据", "报告", "于", "2008", "年", "发布", "。"]
+    assert [w["upos"] for w in words] == \
+        ["NOUN", "NOUN", "ADP", "NUM", "NOUN", "VERB", "PUNCT"]
+    for w in words:
+        assert text[w["start"]:w["end"]] == w["text"]
+    assert (s_start, s_end) == (0, len(text))
+
+    # longest-match traps: 发布 beats 发; order matters; 3-char entries win
+    assert [t for t, _, _ in zh_max_match("发布", 0, 2)] == ["发布"]
+    assert [t for t, _, _ in zh_max_match("布发", 0, 2)] == ["布", "发"]
+    assert [t for t, _, _ in zh_max_match("数据库报告书", 0, 6)] == \
+        ["数据库", "报告书"]
+    # unknown chars fall back to single-char words; whitespace skipped
+    assert [t for t, _, _ in zh_max_match("猫 发布", 0, 4)] == \
+        ["猫", "发布"]
+    # multi-sentence split on CJK terminators
+    two = list(annotate_sentences("数据发布。报告发布。", lang="zh"))
+    assert len(two) == 2
+    assert [w["text"] for w in two[1][3]] == ["报告", "发布", "。"]
