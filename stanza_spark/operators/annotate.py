@@ -175,13 +175,15 @@ def zh_max_match(text: str, start: int, end: int):
         if ch.isspace():
             i += 1
             continue
-        if ch.isdigit():
-            j = i
-            while j < end and text[j].isdigit():
-                j += 1
-            out.append((text[i:j], i, j))
-            i = j
-            continue
+        if ch.isascii() and ch.isalnum():
+            # embedded Latin/numeric material ("GDP", "3.5", urls) keeps
+            # the standard tokenizer's semantics — NUM_RE keeps interior
+            # [.,] so decimals stay one token instead of char confetti
+            m = TOKEN_PAT.match(text, i, end)
+            if m is not None and m.start() == i:
+                out.append((m.group(0), i, m.end()))
+                i = m.end()
+                continue
         for L in range(min(V.ZH_SEG_MAX_LEN, end - i), 0, -1):
             if text[i:i + L] in V.ZH_SEG_DICT:
                 out.append((text[i:i + L], i, i + L))
@@ -193,17 +195,21 @@ def zh_max_match(text: str, start: int, end: int):
     return out
 
 
+ZH_SENT_END = {"。", "！", "？"}
+
+
 def split_sentences_zh(text: str):
     """Chinese sentence split + max-match tokenization: same
     (start, end, [(tok, a, b)]) protocol as split_sentences; sentence
-    boundaries fall after CJK terminators (。！？), paragraph breaks
-    still force a boundary."""
+    boundaries fall ONLY after CJK terminators (。！？) — an ASCII '.'
+    inside embedded Latin material ('3.5', 'v2.0') must not end a zh
+    sentence; paragraph breaks still force a boundary."""
     sents = []
     for pstart, pend in split_paragraphs(text):
         cur = []
         for tok, a, b in zh_max_match(text, pstart, pend):
             cur.append((tok, a, b))
-            if tok in SENT_END:
+            if tok in ZH_SENT_END:
                 sents.append(cur)
                 cur = []
         if cur:

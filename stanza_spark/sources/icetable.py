@@ -196,6 +196,13 @@ class IceTable:
             os.link(scratch, vpath)
         except FileExistsError:
             os.unlink(scratch)
+            # a lost race must not leak its freshly-moved data files into
+            # data/ (retry-heavy workloads would grow it unboundedly)
+            for f in new_files:
+                try:
+                    os.unlink(os.path.join(self.data_dir, f))
+                except OSError:
+                    pass
             raise CommitConflictError(
                 f"{self.path}: version {version} was committed by another "
                 f"writer (base {base}); re-read and retry") from None
@@ -245,17 +252,32 @@ class IceTable:
             files.append(os.path.join(self.data_dir, m["file"]))
         return files
 
+    def _empty_df(self, version: int | None) -> DataFrame:
+        """0-row DataFrame with the snapshot's STORED schema — what a
+        fully-pruned scan (or an empty-manifest snapshot) must return
+        instead of crashing on a path-less parquet read."""
+        from pyspark.sql.types import StructType
+        v = self.current_version() if version is None else version
+        schema = StructType.fromJson(self._snapshot(v)["schema"])
+        return self.spark.createDataFrame([], schema)
+
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read (time travel with ``version``): only files in the
         snapshot's manifest — orphans and in-flight writes are invisible."""
-        return self.spark.read.parquet(*self._files_for(version))
+        files = self._files_for(version)
+        return self.spark.read.parquet(*files) if files \
+            else self._empty_df(version)
 
     def scan(self, col: str, lo=None, hi=None,
              version: int | None = None) -> DataFrame:
         """Manifest-pruned read: files whose [min, max] for ``col`` cannot
         intersect [lo, hi] are never opened.  Returns the pruned DataFrame
-        (apply the exact predicate on top — pruning is file-granular)."""
-        return self.spark.read.parquet(*self._files_for(version, col, lo, hi))
+        (apply the exact predicate on top — pruning is file-granular).
+        A predicate that prunes EVERY file returns an empty DataFrame
+        with the snapshot's stored schema."""
+        files = self._files_for(version, col, lo, hi)
+        return self.spark.read.parquet(*files) if files \
+            else self._empty_df(version)
 
     def pruned_file_count(self, col: str, lo=None, hi=None) -> tuple[int, int]:
         """(files read, files total) for a scan — observability for tests."""
@@ -270,35 +292,51 @@ class IceTable:
         (operation 'compact').  Readers are never disturbed — old
         snapshots keep referencing the old files until expired.  At
         cluster scale this is the routine append-heavy-table maintenance
-        job (many tiny commit files -> few scan-efficient ones)."""
-        return self._commit(self.read().repartition(target_partitions),
-                            "compact")
+        job (many tiny commit files -> few scan-efficient ones).  The
+        rewrite commits with CAS on the version it read: a concurrent
+        append between read and commit raises CommitConflictError instead
+        of silently dropping the appended rows."""
+        base = self.current_version()
+        if base is None:
+            raise ValueError(f"{self.path}: no committed snapshot")
+        return self._commit(self.read(version=base)
+                            .repartition(target_partitions),
+                            "compact", expected_base=base)
 
     def expire_snapshots(self, keep_last: int = 1) -> dict:
-        """Expire all but the last ``keep_last`` snapshots and DELETE data
-        files no retained snapshot references (plus metadata of expired
-        versions).  Time travel to expired versions stops working — that
-        is the contract (Iceberg's expire_snapshots).  Returns counts."""
+        """Expire all but the last ``keep_last`` snapshots: delete their
+        metadata, and delete the data files the EXPIRED snapshots
+        reference that no retained snapshot still needs.  Files referenced
+        by NO snapshot are left alone — they may belong to a concurrent
+        writer between its data write and its metadata link (Iceberg's
+        contract: expiry only ever touches files of expired snapshots;
+        true orphans are a separate GC with an age threshold).  Time
+        travel to expired versions stops working.  Returns counts."""
         cur = self.current_version()
         if cur is None:
             return {"expired_versions": 0, "deleted_files": 0}
-        keep = set(range(max(1, cur - keep_last + 1), cur + 1))
+        existing = {int(f[1:-5]) for f in os.listdir(self.meta_dir)
+                    if f.startswith("v") and f.endswith(".json")
+                    and f[1:-5].isdigit()}
+        keep = set(range(max(1, cur - keep_last + 1), cur + 1)) & existing
+        expired_vs = sorted(existing - keep)
         live: set[str] = set()
         for v in keep:
             live |= {m["file"] for m in self._snapshot(v)["manifest"]}
+        dead: set[str] = set()
+        for v in expired_vs:
+            dead |= {m["file"] for m in self._snapshot(v)["manifest"]}
         deleted = 0
-        for f in os.listdir(self.data_dir):
-            if f not in live:
+        for f in sorted(dead - live):
+            try:
                 os.unlink(os.path.join(self.data_dir, f))
                 deleted += 1
+            except OSError:
+                pass
         expired = 0
-        v = 1
-        while v < min(keep):
-            p = os.path.join(self.meta_dir, f"v{v}.json")
-            if os.path.exists(p):
-                os.unlink(p)
-                expired += 1
-            v += 1
+        for v in expired_vs:
+            os.unlink(os.path.join(self.meta_dir, f"v{v}.json"))
+            expired += 1
         # retained snapshots must not dangle on an expired parent
         for v in sorted(keep):
             s = self._snapshot(v)

@@ -380,3 +380,18 @@ def test_chinese_max_match_segmentation():
     two = list(annotate_sentences("数据发布。报告发布。", lang="zh"))
     assert len(two) == 2
     assert [w["text"] for w in two[1][3]] == ["报告", "发布", "。"]
+
+
+def test_chinese_mixed_ascii_material():
+    """Embedded Latin/numeric runs in zh text keep standard-tokenizer
+    semantics: decimals stay one token and ASCII '.' never ends a zh
+    sentence (review finding r4b)."""
+    from stanza_spark.operators.annotate import annotate_sentences
+
+    text = "数据3.5年GDP发布。"
+    sents = list(annotate_sentences(text, lang="zh"))
+    assert len(sents) == 1                       # '.' in 3.5 didn't split
+    toks = [w["text"] for w in sents[0][3]]
+    assert toks == ["数据", "3.5", "年", "GDP", "发布", "。"]
+    for w in sents[0][3]:
+        assert text[w["start"]:w["end"]] == w["text"]

@@ -152,3 +152,73 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
     assert t.current_version() == 3
     assert t.append(_df(spark, 80, 90)) == 4
     assert t.read().count() == 90
+
+
+def test_compact_races_conflict_not_silent_loss(spark, tmp_path):
+    """compact() commits with CAS on the version it read: an append that
+    lands in between raises CommitConflictError instead of silently
+    vanishing from the compacted snapshot (review finding r4b)."""
+    path = str(tmp_path / "t")
+    a, b = IceTable(spark, path), IceTable(spark, path)
+    a.create(_df(spark, 0, 20).repartition(2))
+    base = a.current_version()
+    df_compacted = a.read(version=base).repartition(1)
+    b.append(_df(spark, 20, 30))                      # lands as v2
+    with pytest.raises(CommitConflictError):
+        a._commit(df_compacted, "compact", expected_base=base)
+    assert a.read().count() == 30                     # b's rows intact
+    v = a.compact()                                   # retry reads fresh
+    assert v == 3 and a.read().count() == 30
+
+
+def test_expire_never_touches_unreferenced_inflight_files(spark, tmp_path):
+    """Files referenced by NO snapshot (a concurrent writer between data
+    write and metadata link) must survive expire_snapshots — only files
+    of EXPIRED snapshots are eligible (review finding r4b)."""
+    t = IceTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 10))
+    t.overwrite(_df(spark, 0, 5))
+    inflight = t._write_data_files(_df(spark, 100, 110), "inflight-writer")
+    t.expire_snapshots(keep_last=1)
+    for f in inflight:
+        assert os.path.exists(os.path.join(t.data_dir, f))
+    assert t.read().count() == 5
+
+
+def test_expire_with_version_gaps(spark, tmp_path):
+    """Raising retention after lowering it must not crash on already-
+    expired versions (review finding r4b)."""
+    t = IceTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 5))
+    t.overwrite(_df(spark, 0, 6))
+    t.overwrite(_df(spark, 0, 7))
+    t.expire_snapshots(keep_last=1)                   # v1, v2 gone
+    t.overwrite(_df(spark, 0, 8))                     # v4
+    out = t.expire_snapshots(keep_last=3)             # keep window covers v2
+    assert out["expired_versions"] == 0               # nothing left to expire
+    assert t.read().count() == 8
+
+
+def test_fully_pruned_scan_returns_empty_not_crash(spark, tmp_path):
+    """A predicate that prunes every file yields a 0-row DataFrame with
+    the snapshot's stored schema (review finding r4b)."""
+    t = IceTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 100).repartitionByRange(4, "k")
+             .sortWithinPartitions("k"))
+    got = t.scan("k", lo=500, hi=600)
+    assert got.count() == 0
+    assert got.columns == ["k", "val"]
+
+
+def test_lost_race_cleans_up_its_data_files(spark, tmp_path):
+    """A losing commit must unlink the data files it just moved into
+    data/ — lost races must not leak storage (review finding r4b)."""
+    path = str(tmp_path / "t")
+    a, b = IceTable(spark, path), IceTable(spark, path)
+    a.create(_df(spark, 0, 10))
+    stale = a.current_version()
+    b.append(_df(spark, 10, 20))
+    n_before = len(os.listdir(a.data_dir))
+    with pytest.raises(CommitConflictError):
+        a._commit(_df(spark, 20, 30), "append", expected_base=stale)
+    assert len(os.listdir(a.data_dir)) == n_before    # no leaked files
