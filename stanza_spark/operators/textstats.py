@@ -113,6 +113,76 @@ def quality_scores(df: DataFrame, spark: SparkSession,
     )
 
 
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    standard web-corpus quality gates): per document,
+
+    * ``dup_line_frac``       — fraction of non-empty lines that repeat an
+                                earlier line (1 - distinct/total);
+    * ``dup_line_char_frac``  — fraction of line characters contained in
+                                those repeats (total - distinct chars,
+                                over total — i.e. every occurrence beyond
+                                a line's first);
+    * ``top_bigram_frac``     — occurrences of the most frequent word
+                                2-gram over all 2-gram slots (catches
+                                'click here click here ...' boilerplate
+                                a line-level rule misses).
+
+    Line metrics are pure higher-order array expressions (no shuffle);
+    the bigram mode runs explode -> groupBy(doc, gram) -> max — two
+    algebraic aggregates keyed by document, so map-side partials absorb
+    repetitive docs and no key can exceed one document's slots.  Both
+    reproduce bit-for-bit in DuckDB (tests/test_textstats_repetition.py)."""
+    lines = F.filter(F.split(F.col(text_col), "\n"),
+                     lambda l: l != F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        lines.alias("lines"),
+        F.split(F.col(text_col), V.WS_SPLIT_RE).alias("words"),
+    ).select(
+        "doc_id", "words",
+        F.size("lines").alias("n_lines"),
+        F.size(F.array_distinct("lines")).alias("n_distinct_lines"),
+        F.aggregate(F.transform("lines", lambda l: F.length(l).cast("long")),
+                    F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("line_chars"),
+        F.aggregate(F.transform(F.array_distinct("lines"),
+                                lambda l: F.length(l).cast("long")),
+                    F.lit(0).cast("long"), lambda a, v: a + v)
+        .alias("distinct_line_chars"),
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.when(
+            F.size("words") >= 2,
+            F.transform(F.sequence(F.lit(0), F.size("words") - 2),
+                        lambda i: F.concat_ws(
+                            " ", F.element_at("words", i + 1),
+                            F.element_at("words", i + 2)))
+        ).otherwise(F.array())).alias("gram"))
+    top = (grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+           .groupBy("doc_id").agg(F.max("c").alias("top_c"),
+                                  F.sum("c").alias("n_bigrams")))
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id", "n_lines",
+            F.round((F.col("n_lines") - F.col("n_distinct_lines"))
+                    / F.greatest("n_lines", F.lit(1)).cast("double"), 6)
+            .alias("dup_line_frac"),
+            F.round((F.col("line_chars") - F.col("distinct_line_chars"))
+                    / F.greatest("line_chars", F.lit(1)).cast("double"), 6)
+            .alias("dup_line_char_frac"),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.round(F.coalesce(F.col("top_c"), F.lit(0))
+                    / F.greatest(F.coalesce("n_bigrams", F.lit(0)),
+                                 F.lit(1)).cast("double"), 6)
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
     """-> (doc_id, n_ws_tokens, n_re_tokens): whitespace split vs the
