@@ -220,13 +220,16 @@ def redact(df: DataFrame, id_col: str = "doc_id",
 
 def curation_flags(df: DataFrame, spark: SparkSession,
                    id_col: str = "doc_id", text_col: str = "text",
-                   lang: str = "en") -> DataFrame:
+                   lang: str = "en", rep_bigram_t: float = 0.15,
+                   rep_dupline_t: float = 0.3) -> DataFrame:
     """The composite corpus-curation decision a training-data pipeline
     applies per document: drop exact duplicates (keep first), drop
     documents whose predicted language isn't ``lang``, drop low-quality
-    documents — in that precedence; survivors get reason 'ok'.
+    documents, drop repetitive documents (Gopher-style: top-bigram mass
+    >= ``rep_bigram_t`` or duplicate-line fraction >= ``rep_dupline_t``)
+    — in that precedence; survivors get reason 'ok'.
 
-    -> (doc_id, reason in {duplicate, lang, quality, ok}, keep).
+    -> (doc_id, reason in {duplicate, lang, quality, repetition, ok}, keep).
 
     Shape: three corpus passes (digest window, stopword-vote aggregate,
     narrow quality projection) joined back on the document key — each
@@ -240,11 +243,16 @@ def curation_flags(df: DataFrame, spark: SparkSession,
     lp = langid(df, spark, id_col, text_col).select("doc_id", "lang_pred")
     qb = quality_scores(df, spark, id_col, text_col) \
         .select("doc_id", "quality_bucket")
-    j = uniq.join(lp, "doc_id").join(qb, "doc_id")
+    rep = repetition_signals(df, id_col, text_col) \
+        .select("doc_id", "dup_line_frac", "top_bigram_frac")
+    j = uniq.join(lp, "doc_id").join(qb, "doc_id").join(rep, "doc_id")
     reason = (
         F.when(~F.col("uniq"), F.lit("duplicate"))
         .when(F.col("lang_pred") != lang, F.lit("lang"))
         .when(F.col("quality_bucket") == "low", F.lit("quality"))
+        .when((F.col("top_bigram_frac") >= rep_bigram_t)
+              | (F.col("dup_line_frac") >= rep_dupline_t),
+              F.lit("repetition"))
         .otherwise(F.lit("ok")))
     return j.select(
         "doc_id", reason.alias("reason"),

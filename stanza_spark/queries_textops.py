@@ -134,10 +134,15 @@ def q_redact(spark, sf_dir):
 
 
 def q_curation_keep(spark, sf_dir):
-    """Composite per-document curation decision over the page corpus."""
+    """Composite per-document curation decision over the page corpus.
+    The repetition threshold is corpus-tuned (0.08: the grammar's en
+    pages top out near 0.095 top-bigram mass, so the rule genuinely
+    fires for the most repetitive survivors — a never-firing predicate
+    would be vacuously 'verified'); the operator default (0.15) is the
+    realistic web-corpus setting."""
     p = pages(spark, sf_dir, with_html=False) \
         .select(F.col("url").alias("doc_id"), "text")
-    return T.curation_flags(p, spark)
+    return T.curation_flags(p, spark, rep_bigram_t=0.08)
 
 
 def q_langid(spark, sf_dir):
@@ -516,16 +521,42 @@ def textops_oracles() -> dict[str, str]:
                      THEN 'high'
                      WHEN len(words) >= 10 THEN 'medium'
                      ELSE 'low' END AS quality_bucket
-                FROM w)
+                FROM w),
+            repbase AS (SELECT w.doc_id, w.words,
+                          list_filter(string_split(p.text, chr(10)),
+                                      l -> l <> '') AS lines
+                        FROM w JOIN p ON w.doc_id = p.doc_id),
+            repg AS (SELECT doc_id, unnest(
+                       CASE WHEN len(words) >= 2 THEN
+                         list_transform(generate_series(1, len(words) - 1),
+                                        i -> words[i] || ' ' || words[i+1])
+                       ELSE [] END) AS gram FROM repbase),
+            rept AS (SELECT doc_id,
+                       round(max(c) / CAST(greatest(sum(c), 1) AS DOUBLE), 6)
+                         AS tbf
+                     FROM (SELECT doc_id, gram, count(*) AS c
+                           FROM repg GROUP BY 1, 2) GROUP BY doc_id),
+            repl AS (SELECT doc_id,
+                       round((len(lines) - len(list_distinct(lines)))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                         AS dlf
+                     FROM repbase),
+            rep AS (SELECT repl.doc_id,
+                      coalesce(rept.tbf, 0) >= 0.08
+                        OR repl.dlf >= 0.3 AS repetitive
+                    FROM repl LEFT JOIN rept ON repl.doc_id = rept.doc_id)
             SELECT dd.doc_id,
                    CASE WHEN NOT dd.uniq THEN 'duplicate'
                         WHEN lng.lang_pred <> 'en' THEN 'lang'
                         WHEN qual.quality_bucket = 'low' THEN 'quality'
+                        WHEN rep.repetitive THEN 'repetition'
                         ELSE 'ok' END AS reason,
                    CAST(dd.uniq AND lng.lang_pred = 'en'
-                        AND qual.quality_bucket <> 'low' AS INT) AS keep
+                        AND qual.quality_bucket <> 'low'
+                        AND NOT rep.repetitive AS INT) AS keep
             FROM dd JOIN lng ON dd.doc_id = lng.doc_id
                     JOIN qual ON dd.doc_id = qual.doc_id
+                    JOIN rep ON dd.doc_id = rep.doc_id
         """,
         "text_langid": f"""
             WITH stop(lang_cand, word) AS (VALUES {stop_rows}),

@@ -100,3 +100,23 @@ def test_repetition_fixtures_pin_definitions(spark):
     assert r3.dup_line_frac == 0.0 and r3.top_bigram_frac == pytest.approx(1 / 3)
     r4 = out[4]
     assert r4.n_lines == 2 and r4.dup_line_frac == pytest.approx(0.5)
+
+
+def test_curation_flags_repetition_reason(spark):
+    """The composite decision drops repetitive docs (Gopher rule) AFTER
+    duplicate/lang/quality in precedence; 'ok' survivors are below both
+    repetition thresholds."""
+    from stanza_spark.operators.textstats import curation_flags
+    en_filler = ("the report was published in the year and it was good "
+                 "for many people across several regions of the world "
+                 "with a lot of useful details inside it")
+    loop = "click here " * 30 + en_filler   # repetitive but en + long
+    docs = spark.createDataFrame(
+        [(1, en_filler), (2, loop), (3, loop), (4, "短い")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.reason for r in
+           curation_flags(docs, spark, rep_bigram_t=0.15).collect()}
+    assert out[1] == "ok"
+    assert out[2] == "repetition"       # first copy survives dedup, drops here
+    assert out[3] == "duplicate"        # dedup precedence beats repetition
+    assert out[4] in ("lang", "quality")
