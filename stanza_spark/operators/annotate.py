@@ -195,6 +195,49 @@ def zh_max_match(text: str, start: int, end: int):
     return out
 
 
+def vi_group_tokens(text: str, toks):
+    """Vietnamese word segmentation: GROUP adjacent word tokens
+    (syllables) into one multi-syllable word by greedy longest
+    dictionary match — the third segmentation typology (zh = split
+    unspaced runs, vi = MERGE spaced syllables).  Syllables qualify only
+    when separated by exactly one space in the source text (a newline or
+    double space is a real boundary); matching is lowercased so
+    sentence-initial and proper-noun capitalization still group
+    ("Báo cáo", "Hà Nội"); the surface keeps the original bytes via the
+    text slice, so char offsets stay exact."""
+    out = []
+    i, n = 0, len(toks)
+    while i < n:
+        tok, a, b = toks[i]
+        grouped = False
+        if WORD_PAT.match(tok):
+            for L in range(min(V.VI_SEG_MAX_SYLS, n - i), 1, -1):
+                parts = toks[i:i + L]
+                if not all(WORD_PAT.match(p[0]) for p in parts):
+                    continue
+                if any(parts[k + 1][1] != parts[k][2] + 1
+                       or text[parts[k][2]] != " "
+                       for k in range(L - 1)):
+                    continue
+                if " ".join(p[0] for p in parts).lower() in V.VI_SEG_DICT:
+                    out.append((text[parts[0][1]:parts[-1][2]],
+                                parts[0][1], parts[-1][2]))
+                    i += L
+                    grouped = True
+                    break
+        if not grouped:
+            out.append((tok, a, b))
+            i += 1
+    return out
+
+
+def split_sentences_vi(text: str):
+    """Standard sentence split + tokenization, then per-sentence syllable
+    grouping (vi_group_tokens) — same (start, end, toks) protocol."""
+    return [(s, e, vi_group_tokens(text, toks))
+            for s, e, toks in split_sentences(text)]
+
+
 ZH_SENT_END = {"。", "！", "？"}
 
 
@@ -279,6 +322,17 @@ def tag_word(text: str, lang: str = "en"):
         if len(text) == 1 and not text.isalnum():
             return ("PUNCT", "G", "_", text)
         return ("NOUN", "N", "_", text)
+    if lang == "vi":
+        if lw in V.VI_LEXICON:
+            return V.VI_LEXICON[lw]
+        if NUM_PAT.match(text):
+            return ("NUM", "M", "NumForm=Digit|NumType=Card", text)
+        if len(text) == 1 and not text.isalnum():
+            return ("PUNCT", "CH", "_", text)
+        # Vietnamese default: capitalized -> PROPN (names), else NOUN
+        if text[0].isupper():
+            return ("PROPN", "Np", "_", text)
+        return ("NOUN", "N", "_", lw)
     if lang == "fr":
         if lw in V.FR_LEXICON:
             return V.FR_LEXICON[lw]
@@ -599,6 +653,10 @@ def annotate_sentences(text: str, pretokenized: bool = False,
         # the deterministic stand-in; spaced zh still tokenizes fine,
         # whitespace is skipped)
         splitter = split_sentences_zh
+    elif lang == "vi":
+        # spaced-syllable text: group adjacent syllables into dictionary
+        # words (the reference's VLSP word segmenter's semantics)
+        splitter = split_sentences_vi
     else:
         splitter = split_sentences
     tag = has("pos") or has("lemma")

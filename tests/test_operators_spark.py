@@ -861,6 +861,144 @@ def test_semgrex_string_surface_parses_to_pattern():
         DepPattern.from_semgrex("{}=pred >obj=zzz {}")
 
 
+def test_ssurgeon_relabel_and_reattach(spark):
+    """Declarative dependency surgery: relabel with a child-of-dependent
+    constraint touches exactly the matching arcs; reattach re-hangs a
+    dependent onto its grandparent; rules apply in order and ss_edited
+    marks exactly the touched rows."""
+    from stanza_spark.operators.ssurgeon import SsurgeonRule, apply_ssurgeon
+    rows = [
+        # sentence: w1 <- w2(dep, has case child w3) ; w3(case -> w2)
+        ("u", 0, 1, 0, "root", "VERB"),
+        ("u", 0, 2, 1, "dep", "NOUN"),     # should become obl (case kid)
+        ("u", 0, 3, 2, "case", "ADP"),
+        ("u", 0, 4, 1, "dep", "ADV"),      # no case child -> stays dep
+        # second sentence: reattach target — w3 hangs on w2, gp = w1
+        ("u", 1, 1, 0, "root", "VERB"),
+        ("u", 1, 2, 1, "obj", "NOUN"),
+        ("u", 1, 3, 2, "advmod", "ADV"),   # reattach -> head 1
+    ]
+    words = spark.createDataFrame(
+        rows, "url string, sent_id int, word_id int, head int, "
+              "deprel string, upos string")
+    out = apply_ssurgeon(words, [
+        SsurgeonRule(match_deprel="dep", child_rel="case",
+                     action="relabel", new_deprel="obl"),
+        SsurgeonRule(match_deprel="advmod", dep_upos=("ADV",),
+                     action="reattach"),
+    ])
+    got = {(r.sent_id, r.word_id): (r.head, r.deprel, r.ss_edited)
+           for r in out.collect()}
+    assert got[(0, 2)] == (1, "obl", True)
+    assert got[(0, 4)] == (1, "dep", False)
+    assert got[(0, 3)] == (2, "case", False)
+    assert got[(1, 3)] == (1, "advmod", True)
+    assert got[(1, 2)] == (1, "obj", False)
+    with pytest.raises(ValueError):
+        SsurgeonRule(match_deprel="dep", action="relabel")
+    with pytest.raises(ValueError):
+        SsurgeonRule(match_deprel="dep", action="delete")
+
+
+def test_tokensregex_parse_and_match(spark):
+    """Bounded TokensRegex subset: attribute conjunction, quantifiers,
+    all-matches semantics, sentence-boundary isolation — and unsupported
+    syntax raises."""
+    from stanza_spark.operators.tokensregex import (TokenSeqPattern,
+                                                    match_token_pattern)
+    p = TokenSeqPattern.parse(
+        "[{lower:/in|at/}] [{upos:PROPN}]{1,2} [{word:/[0-9]{4}/}]")
+    assert len(p.steps) == 3
+    assert p.steps[0][0].lower == ("in", "at")
+    assert p.steps[1][1:] == (1, 2)
+    assert p.steps[2][0].word_re == "[0-9]{4}"
+    for bad in ("[{}]", "[{ner:PERSON}]", "[{lower:/a/}]{2,1}",
+                "([{lower:/a/}])", "[{lower:/a/}]{1,99}"):
+        with pytest.raises(ValueError):
+            TokenSeqPattern.parse(bad)
+
+    rows = [("u", 0, i + 1, t, u) for i, (t, u) in enumerate([
+        ("He", "PRON"), ("works", "VERB"), ("at", "ADP"),
+        ("Acme", "PROPN"), ("Corp", "PROPN"), (".", "PUNCT")])]
+    # sentence boundary: prep at end of sent 0, PROPN opening sent 1
+    rows += [("u", 1, 1, "at", "ADP"), ("u", 2, 1, "Harvard", "PROPN")]
+    words = spark.createDataFrame(
+        rows, "url string, sent_id int, word_id int, text string, "
+              "upos string")
+    m = match_token_pattern(words, "[{lower:/at/}] [{upos:PROPN}]{1,2}")
+    got = {(r.sent_id, r.first_word_id, r.n_tokens, r.matched)
+           for r in m.collect()}
+    # all-matches: both the 1-PROPN and 2-PROPN lengths emit
+    assert got == {(0, 3, 2, "at Acme"), (0, 3, 3, "at Acme Corp")}
+
+
+def test_vietnamese_syllable_grouping():
+    """vi segmentation: greedy longest grouping, single-space adjacency
+    requirement, capitalization-insensitive dict match, offsets exact."""
+    from stanza_spark.operators.annotate import annotate_sentences
+    text = "Báo cáo được công bố tại Hà Nội năm 1999."
+    (_, _, _, words), = annotate_sentences(text, lang="vi")
+    assert [(w["text"], w["upos"]) for w in words] == [
+        ("Báo cáo", "NOUN"), ("được", "AUX"), ("công bố", "VERB"),
+        ("tại", "ADP"), ("Hà Nội", "PROPN"), ("năm", "NOUN"),
+        ("1999", "NUM"), (".", "PUNCT")]
+    for w in words:
+        assert text[w["start"]:w["end"]] == w["text"]
+    # a double space breaks syllable adjacency -> no grouping
+    (_, _, _, w2), = annotate_sentences("báo  cáo", lang="vi")
+    assert [w["text"] for w in w2] == ["báo", "cáo"]
+
+
+def test_semgrex_bounded_subset_extensions():
+    """Round-5 subset: lemma regex attribute, negated relation, one-hop
+    chain below the object — and anything OUTSIDE the subset raises."""
+    from stanza_spark.operators.triples import CHAIN_PATTERN, DepPattern
+    p = DepPattern.from_semgrex(
+        "{upos:VERB,lemma:/move|visit/}=pred >nsubj=subj {} !>xcomp {} "
+        ">obl=obj ({} >case=tail {})")
+    assert p.pred_lemma_re == "move|visit"
+    assert p.neg_rels == ("xcomp",)
+    assert p.obj_rels == ("obl",)
+    assert p.chain_rels == ("case",)
+    assert CHAIN_PATTERN.chain_rels == ("case",)
+    assert CHAIN_PATTERN.neg_rels == ("xcomp",)
+    for bad in (
+        "{upos:VERB}=pred >>obj=obj {}",              # transitive >>
+        "{word:foo}=pred >obj=obj {}",                # unsupported attr
+        "{upos:VERB}=pred >obl=obj ({} >case=x {})",  # chain not =tail
+        "{upos:VERB}=pred !>obj=named {}",            # named negation
+    ):
+        with pytest.raises(ValueError):
+            DepPattern.from_semgrex(bad)
+
+
+def test_semgrex_extensions_behavior(spark):
+    """The three extensions change extraction exactly as specified, via
+    the user-facing facade on reference-shaped sentences."""
+    from stanza_spark.api import Pipeline
+    nlp = Pipeline(spark)
+    docs = ["Obama moved to Tokyo in 1995.",
+            "Obama was elected president in 2008.",
+            "Obama attended Harvard in 1995."]
+    # chain: obl object must carry a case child, emitted as `tail`
+    t = nlp.triples(docs, pattern="{upos:VERB}=pred >nsubj|nsubj:pass=subj "
+                                  "{} !>xcomp {} >obl=obj ({} >case=tail {})")
+    got = {(r.subj, r.pred, r.obj, r.tail) for r in t.collect()}
+    assert got == {("Obama", "move", "Tokyo", "to"),
+                   ("Obama", "attend", "1995", "in")}
+    # negation alone: !>xcomp vetoes the "elected president" predicate
+    t2 = nlp.triples(docs, pattern="{upos:VERB}=pred >nsubj|nsubj:pass=subj "
+                                   "{} !>xcomp {} >obj|xcomp|obl=obj {}")
+    assert "elect" not in {r.pred for r in t2.collect()}
+    t2b = nlp.triples(docs, pattern="{upos:VERB}=pred >nsubj|nsubj:pass=subj "
+                                    "{} >obj|xcomp|obl=obj {}")
+    assert "elect" in {r.pred for r in t2b.collect()}
+    # lemma regex: whole-match anchored
+    t3 = nlp.triples(docs, pattern="{upos:VERB,lemma:/move|visit/}=pred "
+                                   ">nsubj=subj {} >obj|xcomp|obl=obj {}")
+    assert {r.pred for r in t3.collect()} == {"move"}
+
+
 def test_image_codec_property_roundtrip():
     """Property test: any (width, height) in range and any stack of
     skippable JPEG segments before SOF0 round-trips through the parser."""
