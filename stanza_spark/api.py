@@ -173,3 +173,29 @@ class Pipeline:
         pipeline: golden-format comments need constituency+sentiment)."""
         from .sources.conllu import render_document
         return render_document(text)
+
+    def ssurgeon(self, docs, rules) -> DataFrame:
+        """Dependency-graph surgery from the facade — the reference's
+        Ssurgeon entry point (stanza/server/ssurgeon.py) as declarative
+        edit rules over the words DataFrame.  ``rules`` is a list of
+        :class:`~stanza_spark.operators.ssurgeon.SsurgeonRule`; returns
+        the rewritten words table with the ``ss_edited`` lineage flag."""
+        if "depparse" not in self.processors:
+            raise PipelineRequirementsException(
+                "ssurgeon requires the depparse processor")
+        from .operators.ssurgeon import apply_ssurgeon
+        return apply_ssurgeon(self.process(docs), rules)
+
+    def tokensregex(self, docs, patterns) -> DataFrame:
+        """Token-sequence pattern matching from the facade — the
+        reference's TokensRegex entry point (stanza/server/
+        tokensregex.py).  ``patterns``: one pattern (string or
+        TokenSeqPattern) or a name->pattern dict (output gains a
+        ``pattern`` column); matches never cross sentence bounds."""
+        from .operators.tokensregex import (match_token_pattern,
+                                            match_token_patterns)
+        w = self.process(docs).select(
+            "url", "sent_id", "word_id", "text", "upos")
+        if isinstance(patterns, dict):
+            return match_token_patterns(w, patterns)
+        return match_token_pattern(w, patterns)

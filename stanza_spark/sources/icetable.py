@@ -154,6 +154,106 @@ class IceTable:
             v = s["parent"]
         return list(reversed(out))
 
+    def iceberg_metadata(self) -> dict:
+        """Serialize the table state as Apache-Iceberg-v2-SHAPED table
+        metadata JSON — the lossless pure-Python half of wire
+        compatibility (the metadata side needs only JSON; the data side
+        would need Avro manifest files, absent from this container).
+
+        Wire pieces that DIFFER from Apache Iceberg, precisely:
+
+        * **manifest lists**: Iceberg stores an Avro ``snap-*.avro``
+          manifest-list per snapshot pointing at Avro manifest files;
+          here the manifest is inline JSON in ``v<N>.json``, so each
+          snapshot's ``manifest-list`` entry points at that JSON file.
+        * **sequence numbers**: Iceberg tracks per-file data sequence
+          numbers for row-level deletes; this format has no delete
+          files, so ``sequence-number`` == the snapshot version.
+        * **partition specs / sort orders**: always the single
+          unpartitioned spec and unsorted order (the engine partitions
+          by url-hash at the Spark layer, not the table layer).
+        * **table-uuid**: deterministic (md5 of the table path) instead
+          of random — reproducibility beats uniqueness in this sandbox.
+        * **column types**: Spark primitive types map 1:1 (string/long/
+          int/double/float/boolean/binary/date, timestamp ->
+          timestamptz, timestamp_ntz -> timestamp); nested types raise —
+          out of the pure-JSON subset.
+
+        Everything else follows the published v2 metadata layout:
+        format-version, schemas + current-schema-id with sequential
+        field ids, snapshots with summary string-maps, snapshot-log,
+        current-snapshot-id."""
+        import hashlib
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"{self.path}: no committed snapshot")
+        type_map = {
+            "string": "string", "long": "long", "integer": "int",
+            "short": "int", "byte": "int", "double": "double",
+            "float": "float", "boolean": "boolean", "binary": "binary",
+            "date": "date", "timestamp": "timestamptz",
+            "timestamp_ntz": "timestamp",
+        }
+        snap = self._snapshot(cur)
+        fields = []
+        for i, f in enumerate(snap["schema"]["fields"], start=1):
+            t = f["type"]
+            if not isinstance(t, str) or t not in type_map:
+                raise ValueError(
+                    f"iceberg_metadata: unsupported column type {t!r} "
+                    "(nested/exotic types need the Avro toolchain)")
+            fields.append({"id": i, "name": f["name"],
+                           "required": not f.get("nullable", True),
+                           "type": type_map[t]})
+
+        snapshots, log = [], []
+        v: int | None = cur
+        chain = []
+        while v is not None:
+            s = self._snapshot(v)
+            chain.append(s)
+            v = s["parent"]
+        for s in reversed(chain):
+            ts_ms = int(time.mktime(time.strptime(
+                s["committed_at"], "%Y-%m-%dT%H:%M:%SZ"))) * 1000
+            entry = {
+                "snapshot-id": s["version"],
+                "sequence-number": s["version"],
+                "timestamp-ms": ts_ms,
+                "summary": {
+                    "operation": s["operation"],
+                    "total-records": str(s["rows"]),
+                    "total-data-files": str(s["n_files"]),
+                },
+                "manifest-list": f"metadata/v{s['version']}.json",
+                "schema-id": 0,
+            }
+            if s["parent"] is not None:
+                entry["parent-snapshot-id"] = s["parent"]
+            snapshots.append(entry)
+            log.append({"timestamp-ms": ts_ms,
+                        "snapshot-id": s["version"]})
+        return {
+            "format-version": 2,
+            "table-uuid": hashlib.md5(
+                self.path.encode()).hexdigest(),
+            "location": self.path,
+            "last-sequence-number": cur,
+            "last-updated-ms": log[-1]["timestamp-ms"],
+            "last-column-id": len(fields),
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": fields}],
+            "current-schema-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0,
+            "sort-orders": [{"order-id": 0, "fields": []}],
+            "default-sort-order-id": 0,
+            "snapshots": snapshots,
+            "current-snapshot-id": cur,
+            "snapshot-log": log,
+        }
+
     # -- commit protocol ---------------------------------------------------
 
     def _write_data_files(self, df: DataFrame, snap_tag: str) -> list[str]:

@@ -222,3 +222,51 @@ def test_lost_race_cleans_up_its_data_files(spark, tmp_path):
     with pytest.raises(CommitConflictError):
         a._commit(_df(spark, 20, 30), "append", expected_base=stale)
     assert len(os.listdir(a.data_dir)) == n_before    # no leaked files
+
+
+def test_iceberg_metadata_shape(spark, tmp_path):
+    """history() serializes to Apache-Iceberg-v2-shaped table metadata
+    JSON: required keys, sequential field ids, snapshot chain + log in
+    commit order, string-map summaries — the lossless pure-Python half
+    of wire compatibility (differences documented on the method)."""
+    t = IceTable(spark, str(tmp_path / "t"))
+    t.create(_df(spark, 0, 50))
+    t.append(_df(spark, 50, 80))
+    md = t.iceberg_metadata()
+    # machine-readable and self-consistent
+    md2 = json.loads(json.dumps(md))
+    assert md2 == md
+    for key in ("format-version", "table-uuid", "location",
+                "last-sequence-number", "last-updated-ms",
+                "last-column-id", "schemas", "current-schema-id",
+                "partition-specs", "default-spec-id", "sort-orders",
+                "default-sort-order-id", "snapshots",
+                "current-snapshot-id", "snapshot-log"):
+        assert key in md, key
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 2
+    schema = md["schemas"][0]
+    assert [f["id"] for f in schema["fields"]] == [1, 2]
+    assert [f["type"] for f in schema["fields"]] == ["long", "string"]
+    snaps = md["snapshots"]
+    assert [s["snapshot-id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent-snapshot-id"] == 1
+    assert "parent-snapshot-id" not in snaps[0]
+    for s in snaps:
+        assert s["summary"]["operation"] in ("append", "overwrite")
+        assert all(isinstance(v, str) for v in s["summary"].values())
+        assert s["manifest-list"].startswith("metadata/v")
+    log = md["snapshot-log"]
+    assert [e["snapshot-id"] for e in log] == [1, 2]
+    assert log[0]["timestamp-ms"] <= log[1]["timestamp-ms"]
+    # deterministic uuid: same path -> same uuid
+    assert md["table-uuid"] == IceTable(
+        spark, str(tmp_path / "t")).iceberg_metadata()["table-uuid"]
+
+
+def test_iceberg_metadata_rejects_nested_types(spark, tmp_path):
+    t = IceTable(spark, str(tmp_path / "nested"))
+    t.create(spark.range(3).select(
+        F.col("id").alias("k"), F.array(F.col("id")).alias("arr")))
+    with pytest.raises(ValueError, match="unsupported column type"):
+        t.iceberg_metadata()

@@ -949,6 +949,29 @@ def test_vietnamese_syllable_grouping():
     assert [w["text"] for w in w2] == ["báo", "cáo"]
 
 
+def test_facade_ssurgeon_and_tokensregex(spark):
+    """The two new server surfaces are reachable from the user facade,
+    with the same requires-validation the reference applies."""
+    from stanza_spark.api import Pipeline, PipelineRequirementsException
+    from stanza_spark.operators.ssurgeon import SsurgeonRule
+    nlp = Pipeline(spark)
+    doc = "Obama moved to Tokyo in 1995."
+    out = nlp.ssurgeon(doc, [SsurgeonRule(
+        match_deprel="obl", child_rel="case",
+        action="relabel", new_deprel="obl:lmod")])
+    rels = {r.text: r.deprel for r in out.collect()}
+    assert rels["Tokyo"] == "obl:lmod" and rels["1995"] == "obl:lmod"
+    assert {r.text for r in out.filter("ss_edited").collect()} == \
+        {"Tokyo", "1995"}
+    with pytest.raises(PipelineRequirementsException):
+        Pipeline(spark, processors="tokenize,pos,lemma").ssurgeon(doc, [])
+
+    m = nlp.tokensregex(doc, "[{lower:/to|in/}] [{upos:PROPN|NUM}]")
+    assert {r.matched for r in m.collect()} == {"to Tokyo", "in 1995"}
+    m2 = nlp.tokensregex(doc, {"yr": "[{word:/[0-9]{4}/}]"})
+    assert [(r.pattern, r.matched) for r in m2.collect()] == [("yr", "1995")]
+
+
 def test_semgrex_bounded_subset_extensions():
     """Round-5 subset: lemma regex attribute, negated relation, one-hop
     chain below the object — and anything OUTSIDE the subset raises."""

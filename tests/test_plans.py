@@ -188,17 +188,29 @@ def test_no_driver_collect_in_operator_paths():
     import pathlib
     import stanza_spark
     pkg = pathlib.Path(stanza_spark.__file__).parent
+    # file -> None (whole file exempt) or a substring the offending line
+    # must contain (line-targeted exemption keeps the lint's power)
     allowed = {
-        ("operators/canonicalize.py",),   # _checksum: documented
-        ("eval.py",),                     # tokenization_f1: fixture-scale
+        "operators/canonicalize.py": None,  # _checksum: documented
+        "eval.py": None,                    # tokenization_f1: fixture-scale
+        # training job: collects count tables bounded by |TAGS|^2, never
+        # corpus rows (documented in train_weights docstring)
+        "operators/learned_train.py": None,
+        # stream-window watermark guard: ONE 1-row max(ts) aggregate
+        # asserting the corpus is off the eviction boundary edge
+        "queries.py": '["wm"]',
     }
     offenders = []
     for py in pkg.rglob("*.py"):
         rel = py.relative_to(pkg).as_posix()
         for ln, line in enumerate(py.read_text().splitlines(), 1):
             if ".collect()" in line and not line.lstrip().startswith("#"):
-                if (rel,) not in allowed:
-                    offenders.append(f"{rel}:{ln}")
+                exempt = allowed.get(rel, "__none__")
+                if exempt is None:
+                    continue
+                if exempt != "__none__" and exempt in line:
+                    continue
+                offenders.append(f"{rel}:{ln}")
     assert not offenders, offenders
 
 

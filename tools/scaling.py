@@ -68,12 +68,18 @@ def run_once(cores: int, workdir: str, repeats: int = 3) -> dict:
     size = os.path.getsize(pages_path) if os.path.isfile(pages_path) else \
         sum(os.path.getsize(os.path.join(pages_path, f))
             for f in os.listdir(pages_path))
+    # r5 A/B (mult 256, one session): 2 splits/core beat 4/core at BOTH
+    # sizes (local[8] 25.4 vs 32.4 s, local[32] 8.8 vs 11.6 s) AND on the
+    # 8->32 ratio (0.724 vs 0.699) — fewer, bigger splits cut per-task
+    # constant overhead, exactly the knob the ratio is sensitive to.
+    splits_per_core = int(os.environ.get("SPARK_GRAFT_SPLITS_PER_CORE", "2"))
     spark = get_spark(f"scaling-{cores}", cores=cores,
                       shuffle_partitions=max(2 * cores, 16),
                       extra={
                           "spark.ui.showConsoleProgress": "false",
                           "spark.sql.files.maxPartitionBytes":
-                              str(max(size // (4 * cores), 65536)),
+                              str(max(size // (splits_per_core * cores),
+                                      65536)),
                           "spark.sql.files.openCostInBytes": "0",
                       })
     p = spark.read.parquet(pages_path) \
