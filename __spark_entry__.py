@@ -115,6 +115,10 @@ ROTATED_GATES = [
                            # segmentation gate (kg_pos_lemma_zh)
     # rotated in r5 (two green driver rounds each; slots given to the
     # chained-Semgrex / ssurgeon / tokensregex / Vietnamese gates):
+    "kg_tsurgeon",         # round-5 Tsurgeon-analog tree rewrite: born
+                           # straight into pytest parity (the driver set
+                           # is full at 50; oracle = gold trees + the
+                           # same relabel as a string substitution)
     "rel_region_revenue",  # simple join-agg over nation/customer/orders
     "rel_hourly_counts",   # batch hourly counts (kg_stream_windows gates
                            # the same agg through the watermark path)

@@ -186,6 +186,21 @@ class Pipeline:
         from .operators.ssurgeon import apply_ssurgeon
         return apply_ssurgeon(self.process(docs), rules)
 
+    def tsurgeon(self, docs, rules) -> DataFrame:
+        """Constituency-tree surgery from the facade — the reference's
+        Tsurgeon entry point (stanza/server/tsurgeon.py).  ``rules`` is
+        a list of :class:`~stanza_spark.operators.tsurgeon.TsurgeonRule`;
+        returns (url, sent_id, tree) with every rule applied."""
+        if "constituency" not in self.processors and \
+                "depparse" not in self.processors:
+            raise PipelineRequirementsException(
+                "tsurgeon requires the depparse processor (trees are "
+                "derived from the dependency analysis)")
+        from .operators.constituency import constituency_trees
+        from .operators.tsurgeon import apply_tsurgeon
+        return apply_tsurgeon(
+            constituency_trees(self._pages(docs)), rules)
+
     def tokensregex(self, docs, patterns) -> DataFrame:
         """Token-sequence pattern matching from the facade — the
         reference's TokensRegex entry point (stanza/server/
@@ -194,8 +209,10 @@ class Pipeline:
         ``pattern`` column); matches never cross sentence bounds."""
         from .operators.tokensregex import (match_token_pattern,
                                             match_token_patterns)
-        w = self.process(docs).select(
-            "url", "sent_id", "word_id", "text", "upos")
+        cols = ["url", "sent_id", "word_id", "text", "upos"]
+        if "ner" in self.processors:
+            cols.append("ner")      # enables [{ner:PERSON}] attributes
+        w = self.process(docs).select(*cols)
         if isinstance(patterns, dict):
             return match_token_patterns(w, patterns)
         return match_token_pattern(w, patterns)

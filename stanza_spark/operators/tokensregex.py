@@ -54,8 +54,12 @@ class TokenPred:
     lower: tuple[str, ...] | None = None
     word_re: str | None = None
     upos: tuple[str, ...] | None = None
+    #: entity types — matches any BIOES-tagged token of these types
+    #: (CoreNLP's ``[ner: PERSON]`` attribute)
+    ner: tuple[str, ...] | None = None
 
-    def to_column(self, text: Column, upos: Column) -> Column:
+    def to_column(self, text: Column, upos: Column,
+                  ner: Column | None = None) -> Column:
         conds = [text.isNotNull()]
         if self.lower is not None:
             conds.append(F.lower(text).isin(*self.lower))
@@ -64,6 +68,14 @@ class TokenPred:
             conds.append(text.rlike(f"^(?:{self.word_re})$"))
         if self.upos is not None:
             conds.append(upos.isin(*self.upos))
+        if self.ner is not None:
+            if ner is None:
+                raise ValueError(
+                    "tokensregex: pattern uses a ner: attribute but the "
+                    "words table has no `ner` column (run the ner "
+                    "processor)")
+            types = "|".join(self.ner)
+            conds.append(ner.rlike(f"^[BIES]-(?:{types})$"))
         out = conds[0]
         for c in conds[1:]:
             out = out & c
@@ -90,7 +102,7 @@ class TokenSeqPattern:
             r"\s*\[\{((?:[^}]|\}(?!\]))*)\}\]\s*(?:\{(\d+),(\d+)\})?")
         attr_re = re.compile(
             r"\s*(lower|word):/((?:[^/\\]|\\.)*)/\s*(?:,|$)"
-            r"|\s*(upos):([\w|]+)\s*(?:,|$)")
+            r"|\s*(upos|ner):([\w|]+)\s*(?:,|$)")
         steps = []
         pos = 0
         while pos < len(pattern.rstrip()):
@@ -117,7 +129,7 @@ class TokenSeqPattern:
                 elif am.group(1) == "word":
                     kw["word_re"] = am.group(2)
                 else:
-                    kw["upos"] = tuple(am.group(4).split("|"))
+                    kw[am.group(3)] = tuple(am.group(4).split("|"))
             if not kw:
                 raise ValueError("tokensregex: empty token predicate [{}]")
             steps.append((TokenPred(**kw), lo, hi))
@@ -148,13 +160,21 @@ def match_token_pattern(words: DataFrame, pattern: TokenSeqPattern | str,
     if isinstance(pattern, str):
         pattern = TokenSeqPattern.parse(pattern)
     L = pattern.max_len
+    uses_ner = any(p.ner is not None for p, _lo, _hi in pattern.steps)
+    if uses_ner and "ner" not in words.columns:
+        raise ValueError(
+            "tokensregex: pattern uses a ner: attribute but the words "
+            "table has no `ner` column (run the ner processor)")
     win = Window.partitionBy("url", "sent_id").orderBy("word_id")
-    base = words.select(
-        "url", "sent_id", "word_id",
-        F.col("text").alias("t0"), F.col("upos").alias("u0"),
-        *[c for j in range(1, L)
-          for c in (F.lead("text", j).over(win).alias(f"t{j}"),
-                    F.lead("upos", j).over(win).alias(f"u{j}"))])
+    cols = [F.col("text").alias("t0"), F.col("upos").alias("u0")]
+    cols += [c for j in range(1, L)
+             for c in (F.lead("text", j).over(win).alias(f"t{j}"),
+                       F.lead("upos", j).over(win).alias(f"u{j}"))]
+    if uses_ner:
+        cols.append(F.col("ner").alias("n0"))
+        cols += [F.lead("ner", j).over(win).alias(f"n{j}")
+                 for j in range(1, L)]
+    base = words.select("url", "sent_id", "word_id", *cols)
 
     out = None
     for reps in _assignments(pattern):
@@ -163,7 +183,9 @@ def match_token_pattern(words: DataFrame, pattern: TokenSeqPattern | str,
         j = 0
         for (pred, _lo, _hi), r in zip(pattern.steps, reps):
             for _ in range(r):
-                cond = cond & pred.to_column(F.col(f"t{j}"), F.col(f"u{j}"))
+                cond = cond & pred.to_column(
+                    F.col(f"t{j}"), F.col(f"u{j}"),
+                    F.col(f"n{j}") if uses_ner else None)
                 j += 1
         sel = base.filter(cond).select(
             "url", "sent_id",

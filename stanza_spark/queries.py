@@ -201,6 +201,24 @@ def q_kg_constituency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return constituency_trees(pages(spark, sf_dir, with_html=False))
 
 
+def q_kg_tsurgeon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tsurgeon-analog gate (completes the server rewrite trio): a
+    declarative tree-edit rule — relabel every PP that dominates an IN
+    leaf to PP-LOC (the Tregex ``PP < IN`` shape) — applied to the real
+    constituency trees via operators.tsurgeon's s-expression rewriter.
+    Oracle = the grammar-derived gold trees with the same relabeling as
+    a string substitution (every PP in the grammar starts '(PP (IN', so
+    replace() IS the rule on the oracle side).  The structural actions
+    (prune/excise) are pytest-verified on fixtures — not string-
+    expressible cross-engine."""
+    from .operators.constituency import constituency_trees
+    from .operators.tsurgeon import TsurgeonRule, apply_tsurgeon
+    trees = constituency_trees(pages(spark, sf_dir, with_html=False))
+    return apply_tsurgeon(trees, [
+        TsurgeonRule("PP", child_label="IN",
+                     action="relabel", new_label="PP-LOC")])
+
+
 def q_kg_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sentiment import sentence_sentiment
     p = pages(spark, sf_dir, with_html=False)
@@ -672,6 +690,7 @@ KG_QUERIES = {
     "kg_pos_lemma": q_kg_pos_lemma,
     "kg_lemma_ensemble": q_kg_lemma_ensemble,
     "kg_constituency": q_kg_constituency,
+    "kg_tsurgeon": q_kg_tsurgeon,
     "kg_enhanced_deps": q_kg_enhanced_deps,
     "kg_deps_full": q_kg_deps_full,
     "kg_deps_full_mst": q_kg_deps_full_mst,
@@ -750,6 +769,10 @@ def kg_oracles() -> dict[str, str]:
         "kg_pos_lemma": gold_pos_lemma_select(d),
         "kg_lemma_ensemble": gold_pos_lemma_select(d),
         "kg_constituency": gold_constituency_select(d),
+        "kg_tsurgeon": (
+            "SELECT url, sent_id, "
+            "replace(tree, '(PP (IN', '(PP-LOC (IN') AS tree "
+            f"FROM ({gold_constituency_select(d)})"),
         "kg_enhanced_deps": gold_enhanced_deps_select(d),
         "kg_deps_full": gold_deps_full_select(d),
         "kg_deps_full_mst": gold_deps_full_select(d),

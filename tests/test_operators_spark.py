@@ -912,7 +912,9 @@ def test_tokensregex_parse_and_match(spark):
     assert p.steps[0][0].lower == ("in", "at")
     assert p.steps[1][1:] == (1, 2)
     assert p.steps[2][0].word_re == "[0-9]{4}"
-    for bad in ("[{}]", "[{ner:PERSON}]", "[{lower:/a/}]{2,1}",
+    p2 = TokenSeqPattern.parse("[{ner:PERSON|ORG}]{1,2}")
+    assert p2.steps[0][0].ner == ("PERSON", "ORG")
+    for bad in ("[{}]", "[{lemma:be}]", "[{lower:/a/}]{2,1}",
                 "([{lower:/a/}])", "[{lower:/a/}]{1,99}"):
         with pytest.raises(ValueError):
             TokenSeqPattern.parse(bad)
@@ -949,6 +951,44 @@ def test_vietnamese_syllable_grouping():
     assert [w["text"] for w in w2] == ["báo", "cáo"]
 
 
+def test_tsurgeon_actions_and_roundtrip():
+    """Tsurgeon analog: relabel / prune / excise on reference-shaped
+    trees; parse/render round-trips; rules apply in order bottom-up."""
+    from stanza_spark.operators.tsurgeon import (TsurgeonRule, parse_tree,
+                                                 render_tree, rewrite_tree)
+    t = ("(ROOT (S (NP (NNP Barack) (NNP Obama)) (VP (VBD was) "
+         "(VP (VBN born) (PP (IN in) (NP (NNP Hawaii))))) (. .)))")
+    assert render_tree(parse_tree(t)) == t
+    # relabel with child constraint
+    assert "(PP-LOC (IN in)" in rewrite_tree(
+        t, [TsurgeonRule("PP", child_label="IN",
+                         action="relabel", new_label="PP-LOC")])
+    # prune: the PP subtree disappears entirely (the reference doctest's
+    # prune-empty-subtree shape, stanza/server/tsurgeon.py)
+    pruned = rewrite_tree(t, [TsurgeonRule("PP", action="prune")])
+    assert "PP" not in pruned and "Hawaii" not in pruned
+    assert "(VP (VBN born))" in pruned
+    # excise cascades bottom-up (CoreNLP re-applies to fixpoint): the
+    # inner VP's children promote into the outer VP, which then carries
+    # a VBN child itself, matches, and excises too — the whole VP chain
+    # flattens into S
+    excised = rewrite_tree(
+        t, [TsurgeonRule("VP", child_label="VBN", action="excise")])
+    assert excised == ("(ROOT (S (NP (NNP Barack) (NNP Obama)) (VBD was) "
+                       "(VBN born) (PP (IN in) (NP (NNP Hawaii))) (. .)))")
+    # rules in order: relabel THEN prune the relabeled node
+    both = rewrite_tree(t, [
+        TsurgeonRule("PP", action="relabel", new_label="PP-X"),
+        TsurgeonRule("PP-X", action="prune")])
+    assert "PP" not in both
+    # pruning the root yields the empty string
+    assert rewrite_tree(t, [TsurgeonRule("ROOT", action="prune")]) == ""
+    with pytest.raises(ValueError):
+        TsurgeonRule("NP", action="relabel")
+    with pytest.raises(ValueError):
+        rewrite_tree("(ROOT (S x)) trailing", [])
+
+
 def test_facade_ssurgeon_and_tokensregex(spark):
     """The two new server surfaces are reachable from the user facade,
     with the same requires-validation the reference applies."""
@@ -970,6 +1010,20 @@ def test_facade_ssurgeon_and_tokensregex(spark):
     assert {r.matched for r in m.collect()} == {"to Tokyo", "in 1995"}
     m2 = nlp.tokensregex(doc, {"yr": "[{word:/[0-9]{4}/}]"})
     assert [(r.pattern, r.matched) for r in m2.collect()] == [("yr", "1995")]
+    # tsurgeon from the facade
+    from stanza_spark.operators.tsurgeon import TsurgeonRule
+    trees = nlp.tsurgeon(doc, [TsurgeonRule(
+        "PP", child_label="IN", action="relabel", new_label="PP-LOC")])
+    (row,) = trees.collect()
+    assert "(PP-LOC (IN to)" in row.tree and "(PP-LOC (IN in)" in row.tree
+    # ner attribute: entity-typed token match, any BIOES prefix
+    m3 = nlp.tokensregex("Barack Obama visited Tokyo.",
+                         "[{ner:PERSON}]{1,2} [{lower:/visited/}]")
+    assert {r.matched for r in m3.collect()} == \
+        {"Obama visited", "Barack Obama visited"}
+    with pytest.raises(ValueError, match="no `ner` column"):
+        Pipeline(spark, processors="tokenize,pos").tokensregex(
+            doc, "[{ner:PERSON}]")
 
 
 def test_semgrex_bounded_subset_extensions():
