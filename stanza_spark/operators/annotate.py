@@ -160,20 +160,35 @@ def split_sentences(text: str):
     return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
 
 
-def zh_max_match(text: str, start: int, end: int):
+def zh_max_match(text: str, start: int, end: int,
+                 seg_dict=None, max_len: int | None = None,
+                 run_class=None):
     """Greedy longest-prefix dictionary segmentation of text[start:end] —
     the classical max-match stand-in for the reference's neural Chinese
     char classifier (UNSPACED input; the reference's hardest tokenizer
     case).  Digit runs are one NUM token; whitespace is skipped; unknown
     chars fall back to single-character words.  The dict carries
     single-char PREFIXES of its multi-char entries, so longest-match is
-    load-bearing, not incidental."""
+    load-bearing, not incidental.
+
+    ``seg_dict``/``max_len`` default to the zh tables; ``run_class`` is
+    an optional predicate — a maximal run of chars satisfying it becomes
+    ONE token before dict matching (Japanese katakana loanword runs)."""
+    if seg_dict is None:
+        seg_dict, max_len = V.ZH_SEG_DICT, V.ZH_SEG_MAX_LEN
     out = []
     i = start
     while i < end:
         ch = text[i]
         if ch.isspace():
             i += 1
+            continue
+        if run_class is not None and run_class(ch):
+            j = i + 1
+            while j < end and run_class(text[j]):
+                j += 1
+            out.append((text[i:j], i, j))
+            i = j
             continue
         if ch.isascii() and ch.isalnum():
             # embedded Latin/numeric material ("GDP", "3.5", urls) keeps
@@ -184,8 +199,8 @@ def zh_max_match(text: str, start: int, end: int):
                 out.append((m.group(0), i, m.end()))
                 i = m.end()
                 continue
-        for L in range(min(V.ZH_SEG_MAX_LEN, end - i), 0, -1):
-            if text[i:i + L] in V.ZH_SEG_DICT:
+        for L in range(min(max_len, end - i), 0, -1):
+            if text[i:i + L] in seg_dict:
                 out.append((text[i:i + L], i, i + L))
                 i += L
                 break
@@ -193,6 +208,20 @@ def zh_max_match(text: str, start: int, end: int):
             out.append((ch, i, i + 1))
             i += 1
     return out
+
+
+def _is_katakana(ch: str) -> bool:
+    return "゠" <= ch <= "ヿ"
+
+
+def ja_tokenize(text: str, start: int, end: int):
+    """Japanese mixed-script segmentation (seventh language): katakana
+    runs (loanwords like データ, incl. the ー prolonged-sound mark) are
+    single tokens by SCRIPT rule; kanji/hiragana segment by greedy
+    longest dictionary match; embedded ASCII (years, acronyms) keeps the
+    standard tokenizer — three scripts, three strategies, one pass."""
+    return zh_max_match(text, start, end, seg_dict=V.JA_SEG_DICT,
+                        max_len=V.JA_SEG_MAX_LEN, run_class=_is_katakana)
 
 
 def vi_group_tokens(text: str, toks):
@@ -251,6 +280,23 @@ def split_sentences_zh(text: str):
     for pstart, pend in split_paragraphs(text):
         cur = []
         for tok, a, b in zh_max_match(text, pstart, pend):
+            cur.append((tok, a, b))
+            if tok in ZH_SENT_END:
+                sents.append(cur)
+                cur = []
+        if cur:
+            sents.append(cur)
+    return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
+
+
+def split_sentences_ja(text: str):
+    """Japanese sentence split + mixed-script tokenization: CJK
+    terminators (。！？) end sentences, same protocol as the zh splitter
+    but with the katakana-run + ja-dict segmenter."""
+    sents = []
+    for pstart, pend in split_paragraphs(text):
+        cur = []
+        for tok, a, b in ja_tokenize(text, pstart, pend):
             cur.append((tok, a, b))
             if tok in ZH_SENT_END:
                 sents.append(cur)
@@ -321,6 +367,18 @@ def tag_word(text: str, lang: str = "en"):
             return ("NUM", "Q", "NumForm=Digit|NumType=Card", text)
         if len(text) == 1 and not text.isalnum():
             return ("PUNCT", "G", "_", text)
+        return ("NOUN", "N", "_", text)
+    if lang == "ja":
+        # no letter case in Japanese scripts: lexicon keys are surfaces
+        if text in V.JA_LEXICON:
+            return V.JA_LEXICON[text]
+        if NUM_PAT.match(text):
+            return ("NUM", "CD", "NumForm=Digit|NumType=Card", text)
+        if len(text) == 1 and not text.isalnum():
+            return ("PUNCT", "SYM", "_", text)
+        if _is_katakana(text[0]):
+            # katakana run outside the lexicon: loanword noun
+            return ("NOUN", "N-KAT", "_", text)
         return ("NOUN", "N", "_", text)
     if lang == "vi":
         if lw in V.VI_LEXICON:
@@ -657,6 +715,10 @@ def annotate_sentences(text: str, pretokenized: bool = False,
         # spaced-syllable text: group adjacent syllables into dictionary
         # words (the reference's VLSP word segmenter's semantics)
         splitter = split_sentences_vi
+    elif lang == "ja":
+        # mixed-script text: katakana runs by script rule, kanji/kana by
+        # dict max-match, ASCII by the standard tokenizer
+        splitter = split_sentences_ja
     else:
         splitter = split_sentences
     tag = has("pos") or has("lemma")

@@ -24,6 +24,7 @@ from .synth import (
     gold_words_routed_select, gold_pos_lemma_de_select,
     gold_pos_lemma_fr_select, gold_pos_lemma_ar_select,
     gold_pos_lemma_zh_select, gold_pos_lemma_vi_select,
+    gold_pos_lemma_ja_select,
 )
 from .sources.pages import pages
 from .operators.html import extract_text_expr
@@ -632,6 +633,31 @@ def q_kg_pos_lemma_vi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_mwt").cast("int").alias("is_mwt"))
 
 
+def q_kg_pos_lemma_ja(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Japanese annotations (op 7 SEVENTH language, pytest-parity gate):
+    MIXED-SCRIPT segmentation — katakana loanword runs by script rule,
+    unspaced kanji/hiragana by greedy longest dict match, embedded ASCII
+    by the standard tokenizer, with a real lemma normalization
+    (発表された -> 発表する).  Twin corpus from doc_id arithmetic."""
+    from .operators.annotate import annotate
+    from .sources.pages import documents
+    from .synth import template_text_expr
+    from . import vocab as V
+
+    d = Dialect("spark")
+    n_parts = 2 * spark.sparkContext.defaultParallelism
+    ja = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
+        "concat('https://ja.example.org/d/', CAST(doc_id AS STRING)) AS url",
+        "'ja' AS lang",
+        f"{template_text_expr(d, V.JA_SEG_TEMPLATE[0], '0')} AS text",
+    )
+    w = annotate(ja, en_only=False)
+    return w.select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "xpos", "feats", "lemma",
+        F.col("is_mwt").cast("int").alias("is_mwt"))
+
+
 def q_kg_learned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned-scorer decode gate (op 14/17 beyond the grammar): committed
     weight tables -> Viterbi tags -> tag-pair arc scores -> single-root
@@ -718,6 +744,7 @@ KG_QUERIES = {
     "kg_pos_lemma_ar": q_kg_pos_lemma_ar,
     "kg_pos_lemma_zh": q_kg_pos_lemma_zh,
     "kg_pos_lemma_vi": q_kg_pos_lemma_vi,
+    "kg_pos_lemma_ja": q_kg_pos_lemma_ja,
     "kg_learned_decode": q_kg_learned_decode,
     "kg_components": q_kg_components,
     "kg_coref": q_kg_coref,
@@ -819,6 +846,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_pos_lemma_ar": gold_pos_lemma_ar_select(d),
         "kg_pos_lemma_zh": gold_pos_lemma_zh_select(d),
         "kg_pos_lemma_vi": gold_pos_lemma_vi_select(d),
+        "kg_pos_lemma_ja": gold_pos_lemma_ja_select(d),
         "kg_learned_decode": _learned_decode_oracle(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),

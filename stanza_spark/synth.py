@@ -626,6 +626,26 @@ def gold_pos_lemma_vi_select(d: Dialect) -> str:
                                        template=V.VI_SEG_TEMPLATE)
 
 
+def ja_pages_select(d: Dialect) -> str:
+    """Japanese mixed-script twin corpus (seventh language): one page per
+    document from JA_SEG_TEMPLATE — katakana run + unspaced kanji/kana +
+    embedded ASCII year in one stream."""
+    text = template_text_expr(d, V.JA_SEG_TEMPLATE[0], "0")
+    url = f"concat('https://ja.example.org/d/', {d.cast_str('doc_id')})"
+    return (f"SELECT doc_id, {url} AS url, 'ja' AS lang, 0 AS sent_id, "
+            f"{text} AS text FROM documents")
+
+
+def gold_pos_lemma_ja_select(d: Dialect) -> str:
+    """Japanese segmentation gold: fixed mixed-script positions
+    (データ|報告書|は|Y|年|に|東京|で|発表された|。) — katakana by script
+    rule, kanji by longest dict match (prefix traps), ASCII year by the
+    standard tokenizer; the verb lemma normalizes to 発表する."""
+    return _gold_pos_lemma_lang_select(d, "ja", inner=ja_pages_select(d),
+                                       lang_filter=False,
+                                       template=V.JA_SEG_TEMPLATE)
+
+
 def alias_values_cte(d: Dialect) -> str:
     """Inline VALUES table for the entity-linking alias dictionary."""
     rows = ", ".join(

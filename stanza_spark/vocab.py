@@ -566,6 +566,39 @@ VI_LEXICON = {
     "năm": ("NOUN", "N", "_", "năm"),
 }
 
+# --------------------------------------------------------------------------
+# Japanese (SEVENTH language, pytest-parity gate): MIXED-SCRIPT
+# segmentation — the one typology the first six don't exercise: three
+# scripts in one unspaced stream, each with its own strategy.  Katakana
+# runs (loanwords: データ incl. the ー prolonged-sound mark) are single
+# tokens by SCRIPT rule; kanji/hiragana segment by greedy longest dict
+# match (prefix traps 報告/報 vs 報告書, 東/東京 prove longest-match);
+# embedded ASCII (the year) keeps the standard tokenizer.  された is a
+# dict entry whose LEMMA normalizes to the citation form 発表する via the
+# verb entry — a real lemma mapping, not surface identity.
+# --------------------------------------------------------------------------
+
+JA_SEG_TEMPLATE = (["データ報告書は", "Y", "年に東京で発表された。"], None)
+
+JA_SEG_DICT = {"報告書", "報告", "報", "書", "は", "年", "に",
+               "東京", "東", "京", "で", "発表された", "発表", "発",
+               "された"}
+JA_SEG_MAX_LEN = 5
+
+# surface -> (upos, xpos, feats, lemma); xpos = UniDic-ish short tags
+JA_LEXICON = {
+    "データ": ("NOUN", "N-KAT", "_", "データ"),
+    "報告書": ("NOUN", "N", "_", "報告書"),
+    "は": ("ADP", "P-TOP", "_", "は"),
+    "年": ("NOUN", "N-CNT", "_", "年"),
+    "に": ("ADP", "P-CASE", "_", "に"),
+    "東京": ("PROPN", "N-PROP", "_", "東京"),
+    "で": ("ADP", "P-CASE", "_", "で"),
+    "発表された": ("VERB", "V-PASS-PAST", "Voice=Pass|Tense=Past",
+                   "発表する"),
+    "。": ("PUNCT", "SYM", "_", "。"),
+}
+
 # English stopwords for quality scoring / language-id heuristics.
 STOPWORDS = {
     "en": ["the", "and", "of", "in", "to", "was", "is", "for", "at", "a"],

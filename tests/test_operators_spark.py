@@ -1026,6 +1026,34 @@ def test_facade_ssurgeon_and_tokensregex(spark):
             doc, "[{ner:PERSON}]")
 
 
+def test_japanese_mixed_script_segmentation():
+    """ja segmentation: katakana runs by script rule (incl. ー), kanji
+    by longest dict match (prefix traps), embedded ASCII via the
+    standard tokenizer, real lemma normalization, exact offsets."""
+    from stanza_spark.operators.annotate import annotate_sentences
+    text = "データ報告書は2026年に東京で発表された。"
+    (_, _, _, words), = annotate_sentences(text, lang="ja")
+    assert [(w["text"], w["upos"]) for w in words] == [
+        ("データ", "NOUN"), ("報告書", "NOUN"), ("は", "ADP"),
+        ("2026", "NUM"), ("年", "NOUN"), ("に", "ADP"),
+        ("東京", "PROPN"), ("で", "ADP"), ("発表された", "VERB"),
+        ("。", "PUNCT")]
+    by_text = {w["text"]: w for w in words}
+    assert by_text["発表された"]["lemma"] == "発表する"   # citation form
+    for w in words:
+        assert text[w["start"]:w["end"]] == w["text"]
+    # two sentences split only on CJK terminators; ascii '.' inside
+    # numbers must not split
+    sents = list(annotate_sentences("東京で3.5発表された。東京は。",
+                                    lang="ja"))
+    assert len(sents) == 2
+    assert [w["text"] for w in sents[0][3]][:2] == ["東京", "で"]
+    assert "3.5" in [w["text"] for w in sents[0][3]]
+    # unknown katakana run is one loanword token, not char confetti
+    (_, _, _, w2), = annotate_sentences("コンピュータは。", lang="ja")
+    assert [w["text"] for w in w2] == ["コンピュータ", "は", "。"]
+
+
 def test_semgrex_bounded_subset_extensions():
     """Round-5 subset: lemma regex attribute, negated relation, one-hop
     chain below the object — and anything OUTSIDE the subset raises."""
