@@ -115,6 +115,8 @@ ROTATED_GATES = [
                            # segmentation gate (kg_pos_lemma_zh)
     # rotated in r5 (two green driver rounds each; slots given to the
     # chained-Semgrex / ssurgeon / tokensregex / Vietnamese gates):
+    "kg_triples_deep",     # round-5 transitive-Semgrex (>> dominates):
+                           # pytest parity vs grammar DEEP_TRIPLES
     "kg_pos_lemma_ja",     # round-5 SEVENTH language (mixed-script ja):
                            # born into pytest parity like kg_tsurgeon
     "kg_tsurgeon",         # round-5 Tsurgeon-analog tree rewrite: born

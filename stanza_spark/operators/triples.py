@@ -50,6 +50,11 @@ class DepPattern:
     * ``subj_rels``    — child deprels that qualify as the source argument.
     * ``obj_rels``     — child deprels that qualify as the target argument,
                          PRIORITY = listed order (ties: word order).
+    * ``obj_transitive`` — ``>>rels=obj {}``: the object may be ANY
+                         DESCENDANT of the predicate (bounded depth
+                         ``obj_max_depth``) whose own deprel is in
+                         obj_rels — Semgrex's dominates operator; ties
+                         break by (rel priority, depth, word order).
     * ``neg_rels``     — child deprels the predicate must NOT have
                          (``!>xcomp {}`` — Semgrex negated relation).
     * ``chain_rels``   — one-hop relation CHAIN below the object node
@@ -67,6 +72,8 @@ class DepPattern:
     pred_lemma_re: str | None = None
     subj_rels: tuple[str, ...] = ("nsubj", "nsubj:pass")
     obj_rels: tuple[str, ...] = ("obj", "xcomp", "obl")
+    obj_transitive: bool = False
+    obj_max_depth: int = 3
     neg_rels: tuple[str, ...] = ()
     chain_rels: tuple[str, ...] | None = None
     expand_rels: tuple[str, ...] = ("flat",)
@@ -125,6 +132,7 @@ class DepPattern:
             r"!>([\w:|]+)\s*\{\s*\}"                       # negation
             r"|>([\w:|]+)=(\w+)\s*\(\s*\{\s*\}\s*"         # chained node
             r">([\w:|]+)=tail\s*\{\s*\}\s*\)"
+            r"|>>([\w:|]+)=(\w+)\s*\{\s*\}"                # transitive >>
             r"|>([\w:|]+)=(\w+)\s*\{\s*\}"                 # simple named
             r")\s*")
         pos = head.end()
@@ -148,7 +156,16 @@ class DepPattern:
                 kwargs["obj_rels"] = tuple(rels.split("|"))
                 kwargs["chain_rels"] = tuple(m.group(4).split("|"))
                 continue
-            rels, name = m.group(5), m.group(6)             # simple named
+            if m.group(5):                                  # >>rels=obj
+                rels, name = m.group(5), m.group(6)
+                if name != "obj":
+                    raise ValueError(
+                        f"semgrex: >> is supported for =obj only, got "
+                        f"=<{name}>")
+                kwargs["obj_rels"] = tuple(rels.split("|"))
+                kwargs["obj_transitive"] = True
+                continue
+            rels, name = m.group(7), m.group(8)             # simple named
             parts = tuple(rels.split("|"))
             if name == "subj":
                 kwargs["subj_rels"] = parts
@@ -272,19 +289,47 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
     for rank in range(len(pattern.obj_rels) - 1, -1, -1):
         prio = F.when(F.col("deprel") == pattern.obj_rels[rank],
                       rank + 1).otherwise(prio)
-    objc = (
-        words.filter(F.col("deprel").isin(*pattern.obj_rels))
-        .select(
-            "url", "sent_id", F.col("head").alias("v_id"),
-            F.col("word_id").alias("o_id"),
-            prio.alias("prio"),
+    if pattern.obj_transitive:
+        # >>rels=obj: the object may be any DESCENDANT within
+        # obj_max_depth hops (Semgrex dominates).  Bounded-depth closure
+        # = obj_max_depth-1 extra self-joins, all on the (url, sent_id)
+        # sentence key — narrow, co-located, no iteration state.
+        child = words.select(
+            "url", "sent_id", F.col("head").alias("p_id"),
+            F.col("word_id").alias("c_id"), "deprel")
+        level = child.select(
+            "url", "sent_id", F.col("p_id").alias("v_id"),
+            F.col("c_id").alias("o_id"), "deprel",
+            F.lit(1).alias("depth"))
+        desc = level
+        for d in range(2, pattern.obj_max_depth + 1):
+            level = (
+                level.select("url", "sent_id", "v_id",
+                             F.col("o_id").alias("p_id"))
+                .join(child, ["url", "sent_id", "p_id"])
+                .select("url", "sent_id", "v_id",
+                        F.col("c_id").alias("o_id"), "deprel",
+                        F.lit(d).alias("depth")))
+            desc = desc.unionByName(level)
+        objc = (desc.filter(F.col("deprel").isin(*pattern.obj_rels))
+                .select("url", "sent_id", "v_id", "o_id",
+                        prio.alias("prio"), "depth"))
+        order = ["prio", "depth", "o_id"]
+    else:
+        objc = (
+            words.filter(F.col("deprel").isin(*pattern.obj_rels))
+            .select(
+                "url", "sent_id", F.col("head").alias("v_id"),
+                F.col("word_id").alias("o_id"),
+                prio.alias("prio"),
+            )
         )
-    )
-    w = Window.partitionBy("url", "sent_id", "v_id").orderBy("prio", "o_id")
+        order = ["prio", "o_id"]
+    w = Window.partitionBy("url", "sent_id", "v_id").orderBy(*order)
     best_obj = (
         objc.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "prio")
+        .select("url", "sent_id", "v_id", "o_id")
     )
 
     sp = spans(words, pattern.expand_rels)

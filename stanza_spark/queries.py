@@ -26,6 +26,7 @@ from .synth import (
     gold_pos_lemma_zh_select, gold_pos_lemma_vi_select,
     gold_pos_lemma_ja_select,
 )
+from . import vocab as _V
 from .sources.pages import pages
 from .operators.html import extract_text_expr
 from .operators.annotate import annotate, triples_narrow
@@ -288,6 +289,19 @@ def q_kg_triples_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.triples import CHAIN_PATTERN
     w = _words(spark, sf_dir, cache=True)
     return extract_triples(w, None, pattern=CHAIN_PATTERN)
+
+
+def q_kg_triples_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-Semgrex gate (pytest parity): ``>>case=obj`` — the
+    object is any DESCENDANT of the predicate with deprel `case`
+    (bounded-depth closure joins, Semgrex's dominates operator), parsed
+    from the textual surface.  Oracle = grammar-derived V.DEEP_TRIPLES
+    (each verb's first case descendant by depth then word order)."""
+    from .operators.triples import DepPattern
+    pat = DepPattern.from_semgrex(
+        "{upos:VERB}=pred >nsubj|nsubj:pass=subj {} >>case=obj {}")
+    w = _words(spark, sf_dir, cache=True)
+    return extract_triples(w, None, pattern=pat)
 
 
 def q_kg_ssurgeon(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -729,6 +743,7 @@ KG_QUERIES = {
     "kg_triples": q_kg_triples,
     "kg_triples_pattern": q_kg_triples_pattern,
     "kg_triples_chain": q_kg_triples_chain,
+    "kg_triples_deep": q_kg_triples_deep,
     "kg_ssurgeon": q_kg_ssurgeon,
     "kg_tokensregex": q_kg_tokensregex,
     "kg_triples_narrow": q_kg_triples_narrow,
@@ -812,6 +827,9 @@ def kg_oracles() -> dict[str, str]:
         "kg_triples": gold_triples_select(d),
         "kg_triples_pattern": _obl_pattern_oracle(d),
         "kg_triples_chain": gold_triples_chain_select(d),
+        "kg_triples_deep": (
+            "SELECT url, sent_id, subj, pred, obj FROM "
+            f"({gold_triples_select(d, _V.DEEP_TRIPLES)})"),
         "kg_ssurgeon": gold_triples_ssurgeon_select(d),
         "kg_tokensregex": _tokensregex_oracle(d),
         "kg_triples_narrow": gold_triples_select(d),

@@ -201,6 +201,19 @@ CHAIN_TRIPLES = {
     17: ("He", "visit", "Y", "in"),
 }
 
+# Grammar-derived rows for the TRANSITIVE Semgrex pattern
+# (kg_triples_deep): {upos:VERB}=pred >nsubj|nsubj:pass=subj {}
+# >>case=obj {} — the object is the verb's first `case` DESCENDANT by
+# (depth, word order); every case marker sits at depth 2 (verb -> obl
+# noun -> case), so this is CHAIN_TRIPLES's tail column as the object,
+# PLUS t9 (no !>xcomp veto here: "elected"'s obl year contributes its
+# "in").  Value = (subj_slot, pred, obj_literal, styp, otyp).
+DEEP_TRIPLES = {
+    **{t: (s, p, tail, None, None)
+       for t, (s, p, _o, tail) in CHAIN_TRIPLES.items()},
+    9: ("P", "elect", "in", None, None),
+}
+
 # Deterministic surface corruption for slot PC (fuzzy-linking exercise):
 # the full person name with its final character doubled.
 def corrupt_name(name: str) -> str:

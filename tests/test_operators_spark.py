@@ -1067,11 +1067,16 @@ def test_semgrex_bounded_subset_extensions():
     assert p.chain_rels == ("case",)
     assert CHAIN_PATTERN.chain_rels == ("case",)
     assert CHAIN_PATTERN.neg_rels == ("xcomp",)
+    # transitive >> (dominates): object may be any bounded-depth
+    # descendant with a matching deprel
+    q = DepPattern.from_semgrex(
+        "{upos:VERB}=pred >nsubj=subj {} >>case|nmod=obj {}")
+    assert q.obj_transitive and q.obj_rels == ("case", "nmod")
     for bad in (
-        "{upos:VERB}=pred >>obj=obj {}",              # transitive >>
         "{word:foo}=pred >obj=obj {}",                # unsupported attr
         "{upos:VERB}=pred >obl=obj ({} >case=x {})",  # chain not =tail
         "{upos:VERB}=pred !>obj=named {}",            # named negation
+        "{upos:VERB}=pred >>case=subj {}",            # >> only for =obj
     ):
         with pytest.raises(ValueError):
             DepPattern.from_semgrex(bad)
@@ -1102,6 +1107,13 @@ def test_semgrex_extensions_behavior(spark):
     t3 = nlp.triples(docs, pattern="{upos:VERB,lemma:/move|visit/}=pred "
                                    ">nsubj=subj {} >obj|xcomp|obl=obj {}")
     assert {r.pred for r in t3.collect()} == {"move"}
+    # transitive >>: depth-2 descendant (verb -> obl noun -> case) wins;
+    # "moved to Tokyo in 1995" has two case descendants, word order
+    # picks "to"
+    t4 = nlp.triples(docs, pattern="{upos:VERB}=pred >nsubj|nsubj:pass"
+                                   "=subj {} >>case=obj {}")
+    got4 = {(r.pred, r.obj) for r in t4.collect()}
+    assert got4 == {("move", "to"), ("elect", "in"), ("attend", "in")}
 
 
 def test_image_codec_property_roundtrip():
