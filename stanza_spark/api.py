@@ -174,6 +174,18 @@ class Pipeline:
         from .sources.conllu import render_document
         return render_document(text)
 
+    def semgrex(self, docs, pattern: str) -> DataFrame:
+        """General Semgrex matching with ARBITRARY named nodes — every
+        ``>rels=name {}`` clause becomes a ``name`` output column (the
+        reference names any node; triples() is the subj/obj special
+        case).  One row per predicate satisfying every clause."""
+        if "depparse" not in self.processors:
+            raise PipelineRequirementsException(
+                "semgrex requires the depparse processor")
+        from .operators.triples import match_dep_pattern
+        w = self.process(docs).localCheckpoint(eager=True)
+        return match_dep_pattern(w, pattern)
+
     def ssurgeon(self, docs, rules) -> DataFrame:
         """Dependency-graph surgery from the facade — the reference's
         Ssurgeon entry point (stanza/server/ssurgeon.py) as declarative

@@ -233,6 +233,86 @@ def spans(words: DataFrame,
     )
 
 
+def match_dep_pattern(words: DataFrame, pattern: str) -> DataFrame:
+    """GENERAL Semgrex matching with ARBITRARY named nodes — beyond the
+    fixed subj/pred/obj triple shape: every ``>rels=name {}`` clause
+    emits a ``name`` column (the reference surface names any node,
+    semgrex.py:53-102; a triple is just the 3-named special case).
+
+    -> (url, sent_id, pred, <name> …) — one row per predicate that
+    satisfies EVERY clause; each named node is the predicate's first
+    matching child by word order, surface text with flat expansion.
+    Negated clauses (``!>rels {}``) veto; chains/transitive are the
+    :func:`extract_triples` path's job (use =obj there) — this matcher
+    keeps every clause one hop, names unrestricted.
+
+    Plan shape: one self-join per named clause on the (url, sent_id)
+    sentence key + the span expansion join — k named nodes cost k narrow
+    join fans over the same words table, exactly like extract_triples.
+    """
+    import re as _re
+
+    head = _re.match(r"\s*\{([^}]*)\}=(\w+)", pattern)
+    if not head:
+        raise ValueError(f"semgrex: missing head node in {pattern!r}")
+    attrs, pred_name = head.groups()
+    pred_upos = ("VERB",)
+    m = _re.search(r"upos:([\w|]+)", attrs)
+    if m:
+        pred_upos = tuple(m.group(1).split("|"))
+    clause = _re.compile(
+        r"\s*(?:!>([\w:|]+)\s*\{\s*\}|>([\w:|]+)=(\w+)\s*\{\s*\})\s*")
+    pos = head.end()
+    named: list[tuple[tuple[str, ...], str]] = []
+    neg: list[str] = []
+    while pos < len(pattern):
+        cm = clause.match(pattern, pos)
+        if not cm:
+            raise ValueError(
+                f"semgrex: unsupported syntax at {pattern[pos:]!r} "
+                "(match_dep_pattern supports one-hop named clauses and "
+                "negation; chains/transitive go through extract_triples)")
+        pos = cm.end()
+        if cm.group(1):
+            neg.extend(cm.group(1).split("|"))
+        else:
+            named.append((tuple(cm.group(2).split("|")), cm.group(3)))
+    if not named:
+        raise ValueError("semgrex: no named clauses in pattern")
+    seen = {pred_name}
+    for _rels, name in named:
+        if name in seen:
+            raise ValueError(f"semgrex: duplicate node name {name!r}")
+        seen.add(name)
+
+    preds = words.filter(F.col("upos").isin(*pred_upos)).select(
+        "url", "sent_id", F.col("word_id").alias("v_id"),
+        F.col("lemma").alias(pred_name))
+    if neg:
+        veto = words.filter(F.col("deprel").isin(*neg)).select(
+            "url", "sent_id", F.col("head").alias("v_id"))
+        preds = preds.join(veto, ["url", "sent_id", "v_id"], "left_anti")
+
+    sp = spans(words)
+    out = preds
+    for rels, name in named:
+        cand = words.filter(F.col("deprel").isin(*rels)).select(
+            "url", "sent_id", F.col("head").alias("v_id"),
+            F.col("word_id").alias(f"_{name}_id"))
+        wname = Window.partitionBy("url", "sent_id", "v_id") \
+            .orderBy(f"_{name}_id")
+        first = (cand.withColumn("_rn", F.row_number().over(wname))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        out = (out.join(first, ["url", "sent_id", "v_id"])
+               .join(sp.select("url", "sent_id",
+                               F.col("word_id").alias(f"_{name}_id"),
+                               F.col("span_text").alias(name)),
+                     ["url", "sent_id", f"_{name}_id"])
+               .drop(f"_{name}_id"))
+    return out.select("url", "sent_id", pred_name,
+                      *[name for _r, name in named])
+
+
 def extract_triples_multi(words: DataFrame,
                           patterns: dict[str, DepPattern],
                           mentions: DataFrame | None = None) -> DataFrame:

@@ -951,6 +951,36 @@ def test_vietnamese_syllable_grouping():
     assert [w["text"] for w in w2] == ["báo", "cáo"]
 
 
+def test_semgrex_arbitrary_named_nodes(spark):
+    """match_dep_pattern: any clause name becomes an output column — a
+    4-node pattern (pred + subj + place + when) beyond the triple shape;
+    negation vetoes; malformed patterns raise."""
+    from stanza_spark.api import Pipeline
+    from stanza_spark.operators.triples import match_dep_pattern
+    nlp = Pipeline(spark)
+    docs = ["Obama moved to Tokyo in 1995.",
+            "Obama was elected president in 2008."]
+    m = nlp.semgrex(docs, "{upos:VERB}=action >nsubj|nsubj:pass=actor {} "
+                          ">obl=place {} >obl=when {}")
+    # duplicate names are rejected...
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicate node name"):
+        nlp.semgrex(docs, "{}=p >obl=x {} >obl=x {}")
+    # ...so 'place' and 'when' each bind the FIRST obl by word order —
+    # the same node; a richer corpus would separate them by deprel
+    rows = {(r.action, r.actor, r.place) for r in m.collect()}
+    assert ("move", "Obama", "Tokyo") in rows
+    w = nlp.process(docs).localCheckpoint(eager=True)
+    # negation column: veto predicates with an xcomp child
+    m2 = match_dep_pattern(
+        w, "{upos:VERB}=action >nsubj|nsubj:pass=actor {} !>xcomp {} "
+           ">obl=place {}")
+    assert {r.action for r in m2.collect()} == {"move"}
+    for bad in (">obl=x {}", "{}=p", "{}=p >>obl=x {}"):
+        with _pytest.raises(ValueError):
+            match_dep_pattern(w, bad)
+
+
 def test_tsurgeon_actions_and_roundtrip():
     """Tsurgeon analog: relabel / prune / excise on reference-shaped
     trees; parse/render round-trips; rules apply in order bottom-up."""
