@@ -176,6 +176,10 @@ def zh_max_match(text: str, start: int, end: int,
     ONE token before dict matching (Japanese katakana loanword runs)."""
     if seg_dict is None:
         seg_dict, max_len = V.ZH_SEG_DICT, V.ZH_SEG_MAX_LEN
+    elif max_len is None:
+        # a custom dict without an explicit cap: derive it, so
+        # seg_dict=X alone can't reach min(None, ...) at match time
+        max_len = max(map(len, seg_dict), default=1)
     out = []
     i = start
     while i < end:

@@ -177,7 +177,17 @@ def match_token_pattern(words: DataFrame, pattern: TokenSeqPattern | str,
     base = words.select("url", "sent_id", "word_id", *cols)
 
     out = None
+    seen: set[tuple] = set()
     for reps in _assignments(pattern):
+        # adjacent steps with identical predicates make distinct count
+        # vectors (e.g. (1,2) vs (2,1)) compile to the SAME concrete
+        # predicate sequence — dedupe on it, or the union emits duplicate
+        # rows for one (start, length) match
+        concrete = tuple(p for (p, _lo, _hi), r in zip(pattern.steps, reps)
+                         for _ in range(r))
+        if concrete in seen:
+            continue
+        seen.add(concrete)
         n = sum(reps)
         cond = F.lit(True)
         j = 0

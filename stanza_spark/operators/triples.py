@@ -31,6 +31,31 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, functions as F, Window
 
 
+def _parse_head_attrs(attrs: str):
+    """Shared head-node attribute parser for the two Semgrex compilers
+    (``DepPattern.from_semgrex`` and :func:`match_dep_pattern`):
+    ``upos:A|B`` and ``lemma:/re/`` are supported; ANY leftover attribute
+    text raises — unsupported Semgrex syntax must fail loudly, never be
+    silently ignored.  -> (upos tuple | None, lemma regex | None)."""
+    import re as _re
+
+    upos = lemma_re = None
+    rest = attrs
+    m = _re.search(r"upos:([\w|]+)", attrs)
+    if m:
+        upos = tuple(m.group(1).split("|"))
+        rest = rest.replace(m.group(0), "", 1)
+    m = _re.search(r"lemma:/((?:[^/\\]|\\.)*)/", attrs)
+    if m:
+        lemma_re = m.group(1)
+        rest = rest.replace(m.group(0), "", 1)
+    if rest.strip(" ,"):
+        raise ValueError(
+            f"semgrex: unsupported head attributes {rest.strip(' ,')!r} "
+            "(supported: upos:..., lemma:/.../)")
+    return upos, lemma_re
+
+
 @dataclass(frozen=True)
 class DepPattern:
     """Declarative dependency-pattern spec — the Semgrex-analog surface.
@@ -113,19 +138,11 @@ class DepPattern:
             raise ValueError(f"semgrex: missing head node in {pattern!r}")
         attrs, _name = head.groups()
         kwargs: dict = {}
-        rest_attrs = attrs
-        m = _re.search(r"upos:([\w|]+)", attrs)
-        if m:
-            kwargs["pred_upos"] = tuple(m.group(1).split("|"))
-            rest_attrs = rest_attrs.replace(m.group(0), "", 1)
-        m = _re.search(r"lemma:/((?:[^/\\]|\\.)*)/", attrs)
-        if m:
-            kwargs["pred_lemma_re"] = m.group(1)
-            rest_attrs = rest_attrs.replace(m.group(0), "", 1)
-        if rest_attrs.strip(" ,"):
-            raise ValueError(
-                f"semgrex: unsupported head attributes {rest_attrs!r} "
-                "(supported: upos:..., lemma:/.../)")
+        upos, lemma_re = _parse_head_attrs(attrs)
+        if upos is not None:
+            kwargs["pred_upos"] = upos
+        if lemma_re is not None:
+            kwargs["pred_lemma_re"] = lemma_re
 
         clause = _re.compile(
             r"\s*(?:"
@@ -256,10 +273,12 @@ def match_dep_pattern(words: DataFrame, pattern: str) -> DataFrame:
     if not head:
         raise ValueError(f"semgrex: missing head node in {pattern!r}")
     attrs, pred_name = head.groups()
-    pred_upos = ("VERB",)
-    m = _re.search(r"upos:([\w|]+)", attrs)
-    if m:
-        pred_upos = tuple(m.group(1).split("|"))
+    # same strict head-attribute grammar as DepPattern.from_semgrex —
+    # upos + lemma regex supported, anything else raises (never a
+    # silently-dropped constraint)
+    pred_upos, pred_lemma_re = _parse_head_attrs(attrs)
+    if pred_upos is None:
+        pred_upos = ("VERB",)
     clause = _re.compile(
         r"\s*(?:!>([\w:|]+)\s*\{\s*\}|>([\w:|]+)=(\w+)\s*\{\s*\})\s*")
     pos = head.end()
@@ -285,7 +304,11 @@ def match_dep_pattern(words: DataFrame, pattern: str) -> DataFrame:
             raise ValueError(f"semgrex: duplicate node name {name!r}")
         seen.add(name)
 
-    preds = words.filter(F.col("upos").isin(*pred_upos)).select(
+    psrc = words.filter(F.col("upos").isin(*pred_upos))
+    if pred_lemma_re is not None:
+        # whole-attribute match, same anchoring as extract_triples
+        psrc = psrc.filter(F.col("lemma").rlike(f"^(?:{pred_lemma_re})$"))
+    preds = psrc.select(
         "url", "sent_id", F.col("word_id").alias("v_id"),
         F.col("lemma").alias(pred_name))
     if neg:

@@ -39,6 +39,7 @@ commit cost is O(files touched), independent of table size.
 
 from __future__ import annotations
 
+import calendar
 import glob
 import json
 import os
@@ -215,8 +216,11 @@ class IceTable:
             chain.append(s)
             v = s["parent"]
         for s in reversed(chain):
-            ts_ms = int(time.mktime(time.strptime(
-                s["committed_at"], "%Y-%m-%dT%H:%M:%SZ"))) * 1000
+            # committed_at is UTC ('...Z'); timegm treats the parsed
+            # struct_time as UTC — mktime would apply the host's local
+            # offset and skew timestamp-ms on any non-UTC host
+            ts_ms = calendar.timegm(time.strptime(
+                s["committed_at"], "%Y-%m-%dT%H:%M:%SZ")) * 1000
             entry = {
                 "snapshot-id": s["version"],
                 "sequence-number": s["version"],

@@ -376,6 +376,10 @@ def test_chinese_max_match_segmentation():
     # unknown chars fall back to single-char words; whitespace skipped
     assert [t for t, _, _ in zh_max_match("猫 发布", 0, 4)] == \
         ["猫", "发布"]
+    # a custom dict WITHOUT max_len derives the cap from the dict itself
+    assert [t for t, _, _ in zh_max_match("发布发", 0, 3,
+                                          seg_dict={"发布", "发"})] == \
+        ["发布", "发"]
     # multi-sentence split on CJK terminators
     two = list(annotate_sentences("数据发布。报告发布。", lang="zh"))
     assert len(two) == 2

@@ -264,6 +264,34 @@ def test_iceberg_metadata_shape(spark, tmp_path):
         spark, str(tmp_path / "t")).iceberg_metadata()["table-uuid"]
 
 
+def test_iceberg_metadata_timestamps_are_utc(spark, tmp_path):
+    """timestamp-ms must treat committed_at ('...Z') as UTC regardless of
+    the host timezone — mktime() would skew it by the local UTC offset
+    (the r5 advisor verified a 5h skew under TZ=America/New_York)."""
+    import calendar
+    import os
+    import time as _time
+
+    t = IceTable(spark, str(tmp_path / "tz"))
+    t.create(_df(spark, 0, 10))
+    committed = t._snapshot(1)["committed_at"]
+    expect = calendar.timegm(
+        _time.strptime(committed, "%Y-%m-%dT%H:%M:%SZ")) * 1000
+    old_tz = os.environ.get("TZ")
+    try:
+        for tz in ("America/New_York", "Asia/Tokyo", "UTC"):
+            os.environ["TZ"] = tz
+            _time.tzset()
+            md = t.iceberg_metadata()
+            assert md["snapshots"][0]["timestamp-ms"] == expect, tz
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
+
+
 def test_iceberg_metadata_rejects_nested_types(spark, tmp_path):
     t = IceTable(spark, str(tmp_path / "nested"))
     t.create(spark.range(3).select(

@@ -932,6 +932,13 @@ def test_tokensregex_parse_and_match(spark):
            for r in m.collect()}
     # all-matches: both the 1-PROPN and 2-PROPN lengths emit
     assert got == {(0, 3, 2, "at Acme"), (0, 3, 3, "at Acme Corp")}
+    # adjacent identical quantified steps: assignments (1,2) and (2,1)
+    # compile to the same concrete predicate run — NO duplicate rows
+    dup = match_token_pattern(words, "[{upos:PROPN}]{1,2} [{upos:PROPN}]{1,2}")
+    dup_rows = [(r.sent_id, r.first_word_id, r.n_tokens)
+                for r in dup.collect()]
+    assert len(dup_rows) == len(set(dup_rows))
+    assert set(dup_rows) == {(0, 4, 2)}  # only Acme+Corp reaches length 2
 
 
 def test_vietnamese_syllable_grouping():
@@ -979,6 +986,15 @@ def test_semgrex_arbitrary_named_nodes(spark):
     for bad in (">obl=x {}", "{}=p", "{}=p >>obl=x {}"):
         with _pytest.raises(ValueError):
             match_dep_pattern(w, bad)
+    # head lemma regex constrains (same anchoring as extract_triples)...
+    m3 = match_dep_pattern(
+        w, "{upos:VERB,lemma:/move/}=action >nsubj|nsubj:pass=actor {}")
+    assert {r.action for r in m3.collect()} == {"move"}
+    assert match_dep_pattern(
+        w, "{lemma:/elect/}=a >nsubj|nsubj:pass=s {}").count() == 1
+    # ...and unsupported head attributes fail loudly, never drop silently
+    with _pytest.raises(ValueError, match="unsupported head attributes"):
+        match_dep_pattern(w, "{cpos:VB}=a >nsubj=s {}")
 
 
 def test_tsurgeon_actions_and_roundtrip():
