@@ -176,9 +176,13 @@ class Pipeline:
 
     def semgrex(self, docs, pattern: str) -> DataFrame:
         """General Semgrex matching with ARBITRARY named nodes — every
-        ``>rels=name {}`` clause becomes a ``name`` output column (the
-        reference names any node; triples() is the subj/obj special
-        case).  One row per predicate satisfying every clause."""
+        named node becomes an output column (the reference names any
+        node; triples() is the subj/obj special case).  One row per root
+        binding satisfying every clause.  The full bounded grammar is
+        :mod:`~stanza_spark.operators.semgrex` — nested relation chains
+        to any depth, governor direction ``<``, bounded ``>>`` dominance,
+        negation; a bare ``{}`` root defaults to VERB here (the facade is
+        verb-rooted like the reference's patterns)."""
         if "depparse" not in self.processors:
             raise PipelineRequirementsException(
                 "semgrex requires the depparse processor")

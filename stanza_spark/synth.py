@@ -279,6 +279,76 @@ def gold_triples_chain_select(d: Dialect) -> str:
     )
 
 
+def gold_triples_subj_chain_select(d: Dialect) -> str:
+    """(url, sent_id, subj, pred, obj, subj_tail, tail) for the
+    chains-below-both-arguments Semgrex gate (r5 judge item #2):
+    V.CHAIN_TRIPLES further restricted to subjects that HAVE a ``flat``
+    child — multiword names only (every PERSON/PC surface is two tokens;
+    org subjects qualify iff the drawn org name is multiword, hence the
+    LIKE guard evaluates per row; t17's pronoun subject never does).
+    ``subj_tail`` is the flat child's own text = the name's second
+    token."""
+    tmap = {t: tr for t, tr in V.CHAIN_TRIPLES.items() if t != 17}
+
+    def case(col_fn):
+        whens = "".join(
+            f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {col_fn(tmap[t])}"
+            for t in sorted(tmap))
+        return "CASE" + whens + " ELSE NULL END"
+
+    def slot_or_lit(s):
+        return slot_expr(d, s, "sent_id") \
+            if s in ("P", "PC", "O", "O2", "G", "Y") else d.str_lit(s)
+
+    subj = case(lambda tr: slot_or_lit(tr[0]))
+    inner = sentences_select(d)
+    return (
+        f"SELECT url, sent_id, {subj} AS subj, "
+        f"{case(lambda tr: d.str_lit(tr[1]))} AS pred, "
+        f"{case(lambda tr: slot_or_lit(tr[2]))} AS obj, "
+        f"split_part({subj}, ' ', 2) AS subj_tail, "
+        f"{case(lambda tr: d.str_lit(tr[3]))} AS tail "
+        f"FROM ({inner}) WHERE lang = 'en' "
+        f"AND {case(lambda tr: d.str_lit(tr[1]))} IS NOT NULL "
+        f"AND {subj} LIKE '% %'"
+    )
+
+
+def gold_semgrex_select(d: Dialect) -> str:
+    """(url, sent_id, action, agent, agent_tail, place, marker) for the
+    GENERAL-engine Semgrex gate (arbitrary node names, nested 2-hop
+    chains below both arguments, no negation): V.CHAIN_TRIPLES plus t9 —
+    "elected"'s oblique year is back because there is no ``!>xcomp``
+    veto here — restricted to flat-child subjects like
+    :func:`gold_triples_subj_chain_select`."""
+    tmap = {t: tr for t, tr in V.CHAIN_TRIPLES.items() if t != 17}
+    tmap[9] = ("P", "elect", "Y", "in")
+
+    def case(col_fn):
+        whens = "".join(
+            f" WHEN {_ix('tid', 'sent_id')} = {t} THEN {col_fn(tmap[t])}"
+            for t in sorted(tmap))
+        return "CASE" + whens + " ELSE NULL END"
+
+    def slot_or_lit(s):
+        return slot_expr(d, s, "sent_id") \
+            if s in ("P", "PC", "O", "O2", "G", "Y") else d.str_lit(s)
+
+    agent = case(lambda tr: slot_or_lit(tr[0]))
+    inner = sentences_select(d)
+    return (
+        f"SELECT url, sent_id, "
+        f"{case(lambda tr: d.str_lit(tr[1]))} AS action, "
+        f"{agent} AS agent, "
+        f"split_part({agent}, ' ', 2) AS agent_tail, "
+        f"{case(lambda tr: slot_or_lit(tr[2]))} AS place, "
+        f"{case(lambda tr: d.str_lit(tr[3]))} AS marker "
+        f"FROM ({inner}) WHERE lang = 'en' "
+        f"AND {case(lambda tr: d.str_lit(tr[1]))} IS NOT NULL "
+        f"AND {agent} LIKE '% %'"
+    )
+
+
 def gold_triples_ssurgeon_select(d: Dialect) -> str:
     """(url, sent_id, subj, pred, obj, repaired) — the default-pattern
     triples with ``repaired`` = 1 exactly where the object is an oblique
