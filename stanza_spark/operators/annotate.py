@@ -35,6 +35,7 @@ from typing import Iterator
 import pandas as pd
 
 from .. import vocab as V
+from ..langpacks import FR_CLITICS, LANG_PACKS
 
 TOKEN_PAT = re.compile(V.TOKEN_RE)
 WORD_PAT = re.compile(V.WORD_RE + r"\Z")
@@ -160,6 +161,46 @@ def split_sentences(text: str):
     return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
 
 
+def make_elision_splitter(clitics):
+    """Romance elision segmenter kernel (langpacks ``segmenter:
+    'elision'``): a clitic whose final vowel is dropped before a
+    vowel-initial word stays fused in the raw text ("l'Économie",
+    "sull'economia") but is TWO tokens in UD — the clitic keeps the
+    apostrophe, the host word follows with SpaceAfter=No (reference
+    golden: test_french_pipeline.py words 16-17).  The straight
+    apostrophe arrives fused (TOKEN_RE keeps it word-internal) and is
+    split here; the typographic apostrophe arrives as its own token and
+    is merged onto the clitic instead.  ``clitics`` is the pack's
+    language-specific alternation (fr: l/d/qu/jusqu...; it:
+    l/un/dell/sull...)."""
+    alt = "|".join(sorted(clitics, key=len, reverse=True))
+    elision_pat = re.compile(rf"^({alt})(['’])(.+)$", re.IGNORECASE)
+    clitic_pat = re.compile(rf"^({alt})$", re.IGNORECASE)
+
+    def split(text: str):
+        out = []
+        for s_start, s_end, toks in split_sentences(text):
+            split_toks = []
+            i = 0
+            while i < len(toks):
+                tok, a, b = toks[i]
+                m = elision_pat.match(tok)
+                if m:
+                    cut = a + len(m.group(1)) + 1
+                    split_toks.append((tok[:cut - a], a, cut))
+                    split_toks.append((tok[cut - a:], cut, b))
+                elif (clitic_pat.match(tok) and i + 1 < len(toks)
+                      and toks[i + 1][0] == "’" and toks[i + 1][1] == b):
+                    split_toks.append((tok + "’", a, toks[i + 1][2]))
+                    i += 1
+                else:
+                    split_toks.append((tok, a, b))
+                i += 1
+            out.append((s_start, s_end, split_toks))
+        return out
+    return split
+
+
 def zh_max_match(text: str, start: int, end: int,
                  seg_dict=None, max_len: int | None = None,
                  run_class=None):
@@ -228,7 +269,7 @@ def ja_tokenize(text: str, start: int, end: int):
                         max_len=V.JA_SEG_MAX_LEN, run_class=_is_katakana)
 
 
-def vi_group_tokens(text: str, toks):
+def vi_group_tokens(text: str, toks, seg_dict=None, max_syls=None):
     """Vietnamese word segmentation: GROUP adjacent word tokens
     (syllables) into one multi-syllable word by greedy longest
     dictionary match — the third segmentation typology (zh = split
@@ -238,13 +279,15 @@ def vi_group_tokens(text: str, toks):
     sentence-initial and proper-noun capitalization still group
     ("Báo cáo", "Hà Nội"); the surface keeps the original bytes via the
     text slice, so char offsets stay exact."""
+    if seg_dict is None:
+        seg_dict, max_syls = V.VI_SEG_DICT, V.VI_SEG_MAX_SYLS
     out = []
     i, n = 0, len(toks)
     while i < n:
         tok, a, b = toks[i]
         grouped = False
         if WORD_PAT.match(tok):
-            for L in range(min(V.VI_SEG_MAX_SYLS, n - i), 1, -1):
+            for L in range(min(max_syls, n - i), 1, -1):
                 parts = toks[i:i + L]
                 if not all(WORD_PAT.match(p[0]) for p in parts):
                     continue
@@ -252,7 +295,7 @@ def vi_group_tokens(text: str, toks):
                        or text[parts[k][2]] != " "
                        for k in range(L - 1)):
                     continue
-                if " ".join(p[0] for p in parts).lower() in V.VI_SEG_DICT:
+                if " ".join(p[0] for p in parts).lower() in seg_dict:
                     out.append((text[parts[0][1]:parts[-1][2]],
                                 parts[0][1], parts[-1][2]))
                     i += L
@@ -264,66 +307,94 @@ def vi_group_tokens(text: str, toks):
     return out
 
 
-def split_sentences_vi(text: str):
-    """Standard sentence split + tokenization, then per-sentence syllable
-    grouping (vi_group_tokens) — same (start, end, toks) protocol."""
-    return [(s, e, vi_group_tokens(text, toks))
-            for s, e, toks in split_sentences(text)]
+def make_vi_splitter(seg_dict, max_syls):
+    """Syllable-grouping segmenter kernel (langpacks ``segmenter:
+    'vi_group'``): standard sentence split + tokenization, then
+    per-sentence syllable grouping (vi_group_tokens) — same
+    (start, end, toks) protocol."""
+    def split(text: str):
+        return [(s, e, vi_group_tokens(text, toks, seg_dict, max_syls))
+                for s, e, toks in split_sentences(text)]
+    return split
 
 
 ZH_SENT_END = {"。", "！", "？"}
 
 
-def split_sentences_zh(text: str):
-    """Chinese sentence split + max-match tokenization: same
-    (start, end, [(tok, a, b)]) protocol as split_sentences; sentence
-    boundaries fall ONLY after CJK terminators (。！？) — an ASCII '.'
-    inside embedded Latin material ('3.5', 'v2.0') must not end a zh
-    sentence; paragraph breaks still force a boundary."""
-    sents = []
-    for pstart, pend in split_paragraphs(text):
-        cur = []
-        for tok, a, b in zh_max_match(text, pstart, pend):
-            cur.append((tok, a, b))
-            if tok in ZH_SENT_END:
+def make_cjk_splitter(seg_dict, max_len, run_class=None):
+    """CJK max-match segmenter kernel (langpacks ``segmenter:
+    'zh_maxmatch'`` / ``'ja_mixed'``): sentence boundaries fall ONLY
+    after CJK terminators (。！？) — an ASCII '.' inside embedded Latin
+    material ('3.5', 'v2.0') must not end a sentence; paragraph breaks
+    still force a boundary.  ``run_class`` turns a maximal script run
+    into one token before dict matching (ja katakana loanwords)."""
+    def split(text: str):
+        sents = []
+        for pstart, pend in split_paragraphs(text):
+            cur = []
+            for tok, a, b in zh_max_match(text, pstart, pend,
+                                          seg_dict=seg_dict,
+                                          max_len=max_len,
+                                          run_class=run_class):
+                cur.append((tok, a, b))
+                if tok in ZH_SENT_END:
+                    sents.append(cur)
+                    cur = []
+            if cur:
                 sents.append(cur)
-                cur = []
-        if cur:
-            sents.append(cur)
-    return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
+        return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
+    return split
 
 
-def split_sentences_ja(text: str):
-    """Japanese sentence split + mixed-script tokenization: CJK
-    terminators (。！？) end sentences, same protocol as the zh splitter
-    but with the katakana-run + ja-dict segmenter."""
-    sents = []
-    for pstart, pend in split_paragraphs(text):
-        cur = []
-        for tok, a, b in ja_tokenize(text, pstart, pend):
-            cur.append((tok, a, b))
-            if tok in ZH_SENT_END:
-                sents.append(cur)
-                cur = []
-        if cur:
-            sents.append(cur)
-    return [(toks[0][1], toks[-1][2], toks) for toks in sents if toks]
+# ---------------------------------------------------------------------------
+# language-pack dispatch: each pack names a segmenter kernel + params;
+# splitters are built once per language (executor-local, like the
+# reference's loaded-model cache)
+# ---------------------------------------------------------------------------
+
+SEGMENTER_KERNELS = {
+    "standard": lambda: split_sentences,
+    "zh_maxmatch": lambda seg_dict, max_len:
+        make_cjk_splitter(seg_dict, max_len),
+    "ja_mixed": lambda seg_dict, max_len:
+        make_cjk_splitter(seg_dict, max_len, run_class=_is_katakana),
+    "vi_group": make_vi_splitter,
+    "elision": make_elision_splitter,
+}
+
+_PACK_SPLITTERS: dict = {}
+
+
+def pack_splitter(lang: str):
+    """The language's sentence splitter, built from its pack's segmenter
+    kernel name + params (cached)."""
+    if lang not in _PACK_SPLITTERS:
+        pack = LANG_PACKS[lang]
+        _PACK_SPLITTERS[lang] = SEGMENTER_KERNELS[pack.segmenter](
+            **pack.seg_params)
+    return _PACK_SPLITTERS[lang]
+
+
+# named instances (the zh/ja/vi/fr kernels with their packs' parameters)
+split_sentences_zh = make_cjk_splitter(V.ZH_SEG_DICT, V.ZH_SEG_MAX_LEN)
+split_sentences_ja = make_cjk_splitter(V.JA_SEG_DICT, V.JA_SEG_MAX_LEN,
+                                       run_class=_is_katakana)
+split_sentences_vi = make_vi_splitter(V.VI_SEG_DICT, V.VI_SEG_MAX_SYLS)
+split_sentences_fr = make_elision_splitter(FR_CLITICS)
 
 
 # ---------------------------------------------------------------------------
 # MWT expansion (op 13)
 # ---------------------------------------------------------------------------
 
-_MWT_DICTS = {"de": V.DE_MWT_DICT, "fr": V.FR_MWT_DICT,
-              "ar": V.AR_MWT_DICT}
-
-
 def expand_token(tok: str, lang: str = "en"):
     """token text -> list of word texts (len>1 iff MWT); per-language MWT
-    dictionaries (German APPRART contractions im -> in dem; French
-    preposition-article clitics du -> de le)."""
+    dictionaries from the language packs (German APPRART contractions
+    im -> in dem; French preposition-article clitics du -> de le;
+    Italian sull' -> su l'; Arabic multi-clitic fusions)."""
     lw = tok.lower()
-    mwt = _MWT_DICTS.get(lang, V.MWT_DICT)
+    pack = LANG_PACKS.get(lang)
+    mwt = pack.mwt if pack is not None else V.MWT_DICT
     if lw in mwt:
         parts = mwt[lw]
         # preserve original casing on the first part
@@ -338,74 +409,51 @@ def expand_token(tok: str, lang: str = "en"):
 # POS + lemma (ops 15, 16)
 # ---------------------------------------------------------------------------
 
+# open-class fallback kernels (langpacks ``default``): what a word gets
+# when the lexicon, numeral, and punctuation rules all miss
+DEFAULT_KERNELS = {
+    # German: capitalized -> NOUN (nouns capitalize), else X
+    "cap_noun_else_x": lambda text, lw, p:
+        ("NOUN", p["noun_xpos"], "_", text) if text[0].isupper()
+        else ("X", p["x_xpos"], "_", text),
+    # romance/vi: capitalized -> PROPN (names), else NOUN (lemma folds)
+    "cap_propn_else_noun": lambda text, lw, p:
+        ("PROPN", p["propn_xpos"], "_", text) if text[0].isupper()
+        else ("NOUN", p["noun_xpos"], "_",
+              lw if p.get("noun_lemma") == "lower" else text),
+    # caseless scripts: everything unknown is a noun, surface lemma
+    "noun": lambda text, lw, p: ("NOUN", p["xpos"], "_", text),
+    # Japanese: a katakana run outside the lexicon is a loanword noun
+    "ja_script": lambda text, lw, p:
+        ("NOUN", p["kata_xpos"] if _is_katakana(text[0]) else p["xpos"],
+         "_", text),
+}
+
+
 def tag_word(text: str, lang: str = "en"):
-    """-> (upos, xpos, feats, lemma); the per-language lexicon switch is
-    the executor-local model cache of MultilingualPipeline (op 7)."""
+    """-> (upos, xpos, feats, lemma).  Non-English languages resolve
+    through their LANG_PACKS entry — lexicon, numeral/punct tags, and
+    open-class default are all pack DATA (the executor-local model cache
+    of MultilingualPipeline, op 7); English keeps the full bespoke
+    pipeline below."""
     lw = text.lower()
     if URL_PAT.match(text):
         return ("X", "ADD", "_", text)
-    if lang == "de":
-        if lw in V.DE_LEXICON:
-            return V.DE_LEXICON[lw]
+    pack = LANG_PACKS.get(lang)
+    if pack is not None:
+        if pack.fold_apostrophe:
+            lw = lw.replace("’", "'")
+        key = text if pack.key == "surface" else lw
+        hit = pack.lexicon.get(key)
+        if hit is not None:
+            return hit
         if NUM_PAT.match(text):
-            return ("NUM", "CARD", "NumForm=Digit|NumType=Card", text)
+            upos, xpos, feats = pack.num
+            return (upos, xpos, feats, text)
         if len(text) == 1 and not text.isalnum():
-            return ("PUNCT", "$.", "_", text)
-        # German default: capitalized -> NOUN (nouns capitalize), else X
-        if text[0].isupper():
-            return ("NOUN", "NN", "_", text)
-        return ("X", "XY", "_", text)
-    if lang == "zh":
-        if text in V.ZH_LEXICON:
-            return V.ZH_LEXICON[text]
-        if NUM_PAT.match(text):
-            return ("NUM", "CD", "NumForm=Digit|NumType=Card", text)
-        if len(text) == 1 and not text.isalnum():
-            return ("PUNCT", "PU", "_", text)
-        return ("NOUN", "NN", "_", text)
-    if lang == "ar":
-        # no letter case in Arabic script: lexicon keys are surface forms
-        if text in V.AR_LEXICON:
-            return V.AR_LEXICON[text]
-        if NUM_PAT.match(text):
-            return ("NUM", "Q", "NumForm=Digit|NumType=Card", text)
-        if len(text) == 1 and not text.isalnum():
-            return ("PUNCT", "G", "_", text)
-        return ("NOUN", "N", "_", text)
-    if lang == "ja":
-        # no letter case in Japanese scripts: lexicon keys are surfaces
-        if text in V.JA_LEXICON:
-            return V.JA_LEXICON[text]
-        if NUM_PAT.match(text):
-            return ("NUM", "CD", "NumForm=Digit|NumType=Card", text)
-        if len(text) == 1 and not text.isalnum():
-            return ("PUNCT", "SYM", "_", text)
-        if _is_katakana(text[0]):
-            # katakana run outside the lexicon: loanword noun
-            return ("NOUN", "N-KAT", "_", text)
-        return ("NOUN", "N", "_", text)
-    if lang == "vi":
-        if lw in V.VI_LEXICON:
-            return V.VI_LEXICON[lw]
-        if NUM_PAT.match(text):
-            return ("NUM", "M", "NumForm=Digit|NumType=Card", text)
-        if len(text) == 1 and not text.isalnum():
-            return ("PUNCT", "CH", "_", text)
-        # Vietnamese default: capitalized -> PROPN (names), else NOUN
-        if text[0].isupper():
-            return ("PROPN", "Np", "_", text)
-        return ("NOUN", "N", "_", lw)
-    if lang == "fr":
-        if lw in V.FR_LEXICON:
-            return V.FR_LEXICON[lw]
-        if NUM_PAT.match(text):
-            return ("NUM", "NUM", "NumForm=Digit|NumType=Card", text)
-        if len(text) == 1 and not text.isalnum():
-            return ("PUNCT", "PUNCT", "_", text)
-        # French default: capitalized -> PROPN (names), else NOUN
-        if text[0].isupper():
-            return ("PROPN", "PROPN", "_", text)
-        return ("NOUN", "NOUN", "_", lw)
+            return ("PUNCT", pack.punct_xpos, "_", text)
+        return DEFAULT_KERNELS[pack.default](text, lw,
+                                             pack.default_params)
     if lw in V.VERB_LEXICON:
         xpos, lemma = V.VERB_LEXICON[lw]
         return ("VERB", xpos, V.VERB_FEATS[xpos], lemma)
@@ -484,12 +532,25 @@ def tag_ner(words):
 NOMINAL = {"NOUN", "PROPN", "NUM", "PRON", "X"}
 
 
-def parse_sentence(words):
+def parse_sentence(words, lang: str = "en"):
     """words: list of dicts with 'upos','xpos'. Sets 'head' (1-based, 0 =
-    root) and 'deprel' in place."""
+    root) and 'deprel' in place.
+
+    ``lang='fr'`` enables the French constructions visible in the
+    reference's French golden (test_french_pipeline.py:21-313) on top of
+    the shared SVO core: fronted predicative advcl with mark/advmod and
+    an obl:arg argument, de-phrase nmod attachment to the preceding
+    nominal, nominal coordination (conj to the first conjunct, cc on the
+    following one, conjunct-attached commas), lexical xcomp verbs
+    ("devenir"), obl:mod for case-marked numerals, and flat:name for
+    proper-noun runs.  The English path is byte-identical to the
+    pre-lang behavior."""
     n = len(words)
     heads = [0] * n
     rels = ["dep"] * n
+    fr = lang == "fr"
+    flat_rel = "flat:name" if fr else "flat"
+    done = set()   # indices the fr constructions pre-assigned
 
     root = next((i for i, w in enumerate(words) if w["upos"] == "VERB"), None)
     if root is None:
@@ -509,7 +570,7 @@ def parse_sentence(words):
                 j += 1
             for k in range(i + 1, j + 1):
                 heads[k] = i + 1
-                rels[k] = "flat"
+                rels[k] = flat_rel
             spans.append((i, j))
             i = j + 1
         elif u in ("NOUN", "NUM", "PRON", "X"):
@@ -518,18 +579,57 @@ def parse_sentence(words):
         else:
             i += 1
 
-    subj_spans = [s for s in spans if s[0] < root and not (s[0] <= root <= s[1])]
+    # fronted predicative phrase (fr): ADV* ADJ ... "," before the verbal
+    # root -> the ADJ heads an advcl of the root; its ADVs are mark (a
+    # lexicalized set) or advmod; a case-marked nominal inside the phrase
+    # is the predicative's argument (obl:arg); the closing comma attaches
+    # to the ADJ ("Alors encore inconnu du grand public," golden 1-8)
+    fronted_adj = fronted_end = None
+    if fr and root is not None and words[root]["upos"] == "VERB":
+        i0 = 0
+        while i0 < root and words[i0]["upos"] == "ADV":
+            i0 += 1
+        if 0 < i0 < root and words[i0]["upos"] == "ADJ":
+            comma = next((k for k in range(i0 + 1, root)
+                          if words[k]["text"] == ","), None)
+            if comma is not None:
+                fronted_adj, fronted_end = i0, comma
+                heads[i0] = root + 1
+                rels[i0] = "advcl"
+                for k in range(i0):
+                    heads[k] = i0 + 1
+                    rels[k] = ("mark" if words[k]["lemma"] in V.FR_MARK_ADVS
+                               else "advmod")
+                    done.add(k)
+                heads[comma] = i0 + 1
+                rels[comma] = "punct"
+                done.update((i0, comma))
+
+    def in_fronted(a):
+        return (fronted_adj is not None
+                and fronted_adj < a < fronted_end)
+
+    subj_spans = [s for s in spans
+                  if s[0] < root and not (s[0] <= root <= s[1])
+                  and not in_fronted(s[0])]
     post_spans = [s for s in spans if s[0] > root]
     in_root_span = next((s for s in spans if s[0] <= root <= s[1]), None)
 
     seen_direct_obj = False
+    coord_head = None        # first conjunct of an open fr nmod chain
+    prev_post_nominal = None  # nearest preceding post-root span head
     for (a, b) in spans:
         if (a, b) == in_root_span and root >= 0 and words[root]["upos"] != "VERB":
             continue  # span containing a nominal root
         if a <= root <= b:
             continue
         if a < root:
-            if subj_spans and (a, b) == subj_spans[-1]:
+            if in_fronted(a):
+                # predicative argument inside the fronted phrase
+                heads[a] = fronted_adj + 1
+                rels[a] = "obl:arg"
+                done.add(a)
+            elif subj_spans and (a, b) == subj_spans[-1]:
                 heads[a] = root + 1
                 rels[a] = "nsubj:pass" if passive else "nsubj"
             else:
@@ -541,19 +641,52 @@ def parse_sentence(words):
         while k > root and words[k]["upos"] in ("DET", "ADJ"):
             k -= 1
         if k > root and words[k]["upos"] == "ADP":
-            heads[a] = root + 1
-            rels[a] = "obl"
+            attached = False
+            if fr and words[k]["lemma"] in V.FR_NMOD_ADPS:
+                # coordination: ", de X" / "et de X" continues the chain
+                # opened by the first nmod conjunct
+                joiner = next(
+                    (j for j in range(
+                        (prev_post_nominal if prev_post_nominal is not None
+                         else root) + 1, k)
+                     if words[j]["upos"] == "CCONJ"
+                     or words[j]["text"] == ","), None)
+                if coord_head is not None and joiner is not None:
+                    heads[a] = coord_head + 1
+                    rels[a] = "conj"
+                    heads[joiner] = a + 1
+                    rels[joiner] = ("cc" if words[joiner]["upos"] == "CCONJ"
+                                    else "punct")
+                    done.update((a, joiner))
+                    attached = True
+                elif (prev_post_nominal is not None
+                      and words[prev_post_nominal]["upos"] == "NOUN"):
+                    # de-phrase modifies the preceding nominal
+                    heads[a] = prev_post_nominal + 1
+                    rels[a] = "nmod"
+                    done.add(a)
+                    coord_head = a
+                    attached = True
+            if not attached:
+                heads[a] = root + 1
+                rels[a] = ("obl:mod" if fr and words[a]["upos"] == "NUM"
+                           else "obl")
         elif not seen_direct_obj:
             heads[a] = root + 1
-            rels[a] = "xcomp" if passive else "obj"
+            rels[a] = ("xcomp" if passive
+                       or (fr and words[root]["lemma"] in V.FR_XCOMP_VERBS)
+                       else "obj")
             seen_direct_obj = True
         else:
             heads[a] = root + 1
             rels[a] = "dep"
+        prev_post_nominal = a
 
     # functional words attach to the nearest following span head
     span_start = {a: a for (a, b) in spans}
     for i in range(n):
+        if i in done:   # pre-assigned by a French construction
+            continue
         u = words[i]["upos"]
         if u == "ADP":
             nxt = next((a for (a, b) in spans if a > i), None)
@@ -709,20 +842,11 @@ def annotate_sentences(text: str, pretokenized: bool = False,
         splitter = TOKENIZER_VARIANTS[variant]
     elif pretokenized:
         splitter = split_pretokenized
-    elif lang == "zh":
-        # unspaced CJK text: dictionary max-match segmentation (the
-        # reference's zh tokenizer is a neural char classifier — this is
-        # the deterministic stand-in; spaced zh still tokenizes fine,
-        # whitespace is skipped)
-        splitter = split_sentences_zh
-    elif lang == "vi":
-        # spaced-syllable text: group adjacent syllables into dictionary
-        # words (the reference's VLSP word segmenter's semantics)
-        splitter = split_sentences_vi
-    elif lang == "ja":
-        # mixed-script text: katakana runs by script rule, kanji/kana by
-        # dict max-match, ASCII by the standard tokenizer
-        splitter = split_sentences_ja
+    elif lang in LANG_PACKS and LANG_PACKS[lang].segmenter != "standard":
+        # the pack's segmenter kernel: zh max-match over unspaced CJK,
+        # ja mixed-script (katakana runs + dict), vi syllable grouping,
+        # fr/it romance elision ("l'Économie" -> l' + Économie)
+        splitter = pack_splitter(lang)
     else:
         splitter = split_sentences
     tag = has("pos") or has("lemma")
@@ -754,7 +878,7 @@ def annotate_sentences(text: str, pretokenized: bool = False,
             for w in words:
                 w["ner"] = None
         if has("depparse"):
-            parse_fn(words)
+            parse_fn(words, lang=lang)
         else:
             for w in words:
                 w["head"] = None

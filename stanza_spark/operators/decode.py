@@ -361,7 +361,7 @@ def label_arcs(words, heads, root: int) -> list:
     return rels
 
 
-def parse_sentence_mst(words, scorer=None) -> int:
+def parse_sentence_mst(words, scorer=None, lang: str = "en") -> int:
     """Drop-in replacement for annotate.parse_sentence: score with
     ``scorer`` (default grammar_arc_scores), decode with the single-root
     MST, label with the grammar's rules.  Sets 'head'/'deprel' in place,
