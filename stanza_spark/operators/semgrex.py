@@ -18,7 +18,8 @@ to :data:`MAX_NEST_DEPTH`):
               |  '>'  rels ('=' name)? target      # child arc
               |  '<'  rels ('=' name)? target      # governor arc
     target   :=  node  |  '(' node clause* ')'     # group = nested chain
-    rels     :=  REL ('|' REL)*
+    rels     :=  REL ('|' REL)*  |  '/' regex '/'  # literal set or
+                                                   # whole-name regex
 
 Matching semantics (deterministic, documented — the SAME
 greedy-select-then-require rule :func:`~stanza_spark.operators.triples
@@ -79,14 +80,27 @@ class SemNode:
 
 @dataclass(frozen=True)
 class SemClause:
-    """One relation clause below a node. kind ∈ child|gov|desc|neg."""
+    """One relation clause below a node. kind ∈ child|gov|desc|neg.
+    ``rels`` is the literal alternation; ``rels_re`` the regex form
+    (``>/nmod:.*/`` — Semgrex relation regexes, whole-name anchored):
+    exactly one of the two is set."""
     kind: str
-    rels: tuple[str, ...]
+    rels: tuple[str, ...] | None
     node: SemNode | None  # None only for kind == 'neg'
+    rels_re: str | None = None
+
+
+def _rel_cond(c: SemClause):
+    """deprel membership condition for one clause (literal set or
+    whole-name-anchored regex)."""
+    if c.rels_re is not None:
+        return F.col("deprel").rlike(f"^(?:{c.rels_re})$")
+    return F.col("deprel").isin(*c.rels)
 
 
 _NODE_RE = re.compile(r"\s*\{([^}]*)\}\s*(?:=(\w+))?")
-_CLAUSE_RE = re.compile(r"\s*(!>|>>|>|<)([\w:|]+)\s*(?:=(\w+))?")
+_CLAUSE_RE = re.compile(
+    r"\s*(!>|>>|>|<)(?:([\w:|]+)|/((?:[^/\\]|\\.)+)/)\s*(?:=(\w+))?")
 
 
 def _parse_node(pattern: str, pos: int, depth: int,
@@ -113,9 +127,10 @@ def _parse_node(pattern: str, pos: int, depth: int,
         if counters["clauses"] > MAX_CLAUSES:
             raise ValueError(
                 f"semgrex: more than {MAX_CLAUSES} clauses")
-        op, rels, cname = cm.group(1), cm.group(2), cm.group(3)
+        op, rels, rels_re, cname = (cm.group(1), cm.group(2),
+                                    cm.group(3), cm.group(4))
         pos = cm.end()
-        rel_tuple = tuple(rels.split("|"))
+        rel_tuple = tuple(rels.split("|")) if rels is not None else None
         if op == "!>":
             if cname is not None:
                 raise ValueError(
@@ -127,7 +142,8 @@ def _parse_node(pattern: str, pos: int, depth: int,
                     f"semgrex: negation takes a bare {{}} node at "
                     f"{pattern[pos:]!r}")
             pos = bm.end()
-            clauses.append(SemClause("neg", rel_tuple, None))
+            clauses.append(SemClause("neg", rel_tuple, None,
+                                     rels_re=rels_re))
             continue
         kind = {"<": "gov", ">": "child", ">>": "desc"}[op]
         # target: a LEAF node, or a parenthesized group whose head node
@@ -159,7 +175,8 @@ def _parse_node(pattern: str, pos: int, depth: int,
                     f"(={cname} vs ={child.name})")
             child = SemNode(cname, child.upos, child.lemma_re,
                             child.clauses)
-        clauses.append(SemClause(kind, rel_tuple, child))
+        clauses.append(SemClause(kind, rel_tuple, child,
+                                 rels_re=rels_re))
     return SemNode(name, upos, lemma_re, tuple(clauses)), pos
 
 
@@ -235,14 +252,14 @@ class _Compiler:
                        pcol: str) -> DataFrame:
         for c in node.clauses:
             if c.kind == "neg":
-                veto = self.words.filter(F.col("deprel").isin(*c.rels)) \
+                veto = self.words.filter(_rel_cond(c)) \
                     .select("url", "sent_id", F.col("head").alias(pcol))
                 b = b.join(veto, ["url", "sent_id", pcol], "left_anti")
                 continue
             ccol = self._col_for(c.node)
             if c.kind == "child":
                 cand = _attr_filter(
-                    self.words.filter(F.col("deprel").isin(*c.rels)),
+                    self.words.filter(_rel_cond(c)),
                     c.node).select(
                         "url", "sent_id", F.col("head").alias(pcol),
                         F.col("word_id").alias(ccol))
@@ -274,8 +291,7 @@ class _Compiler:
                                 "upos", "lemma",
                                 F.lit(d).alias("_depth")))
                     desc = desc.unionByName(level)
-                cand = _attr_filter(
-                    desc.filter(F.col("deprel").isin(*c.rels)), c.node)
+                cand = _attr_filter(desc.filter(_rel_cond(c)), c.node)
                 w = Window.partitionBy("url", "sent_id", pcol) \
                     .orderBy("_depth", ccol)
                 first = (cand.withColumn("_rn", F.row_number().over(w))
@@ -285,7 +301,7 @@ class _Compiler:
             elif c.kind == "gov":
                 # parent's own deprel must be in rels; its head is the
                 # governor (exactly one per word — no tie-break)
-                par = self.words.filter(F.col("deprel").isin(*c.rels)) \
+                par = self.words.filter(_rel_cond(c)) \
                     .select("url", "sent_id",
                             F.col("word_id").alias(pcol),
                             F.col("head").alias(ccol))

@@ -317,9 +317,13 @@ def q_kg_semgrex(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold_semgrex_select."""
     from .operators.semgrex import match_semgrex
     w = _words(spark, sf_dir, cache=True)
+    # the subject arc uses a RELATION REGEX (round 6: `/nsubj(:pass)?/`,
+    # Semgrex's regex relations) — corpus-equivalent to the literal
+    # alternation nsubj|nsubj:pass, so the oracle is unchanged while the
+    # gate exercises the regex compilation path end-to-end
     return match_semgrex(
         w,
-        "{upos:VERB}=action >nsubj|nsubj:pass=agent ({} >flat=agent_tail {}) "
+        "{upos:VERB}=action >/nsubj(:pass)?/=agent ({} >flat=agent_tail {}) "
         ">obl=place ({} >case=marker {})")
 
 

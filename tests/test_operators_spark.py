@@ -1063,6 +1063,21 @@ def test_semgrex_unified_engine(spark):
     assert [(r.v, r.s, r.t) for r in f.collect()] == [
         ("move", "Barack Obama", "Obama")]
 
+    # RELATION REGEXES (round 6): `/re/` in place of a literal set, whole
+    # name anchored — /obl|obj/ matches both, /ob/ matches NEITHER
+    # (anchoring), and regex negation vetoes too
+    rr = match_semgrex(w, "{upos:VERB}=v >/obl|obj/=place {upos:PROPN}")
+    assert {r.place for r in rr.collect()} == {"Tokyo", "London"}
+    assert match_semgrex(
+        w, "{upos:VERB}=v >/ob/=place {upos:PROPN}").count() == 0
+    assert match_semgrex(
+        w, "{upos:VERB}=v >/nsubj(:pass)?/=s ({} >flat=t {})") \
+        .count() == 1
+    neg = match_semgrex(w, "{upos:VERB}=v !>/nsub.*/ {} >obl=d {}")
+    assert neg.count() == 0            # both verbs have nsubj-ish child
+    with _pytest.raises(ValueError):
+        parse_semgrex("{upos:VERB}=v >/unclosed=x {}")
+
 
 def test_tsurgeon_actions_and_roundtrip():
     """Tsurgeon analog: relabel / prune / excise on reference-shaped
