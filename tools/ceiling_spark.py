@@ -13,8 +13,12 @@ what 'embarrassingly parallel' costs on this VM through the whole Spark
 stack; no real operator with joins and aggregation can be expected to
 beat it.
 
-`rounds` chains per-row hash work so compute dominates the scan; at the
-default 512 the scan is <5 % of task time at local[8].
+`rounds` chains per-row string-hash work so compute dominates the scan
+(each link re-hashes the text column, so the work is string-width, not
+8-byte-long-width); the chain is built by python-side NESTING (capped at
+256 — Catalyst's analysis stack overflows near 500) because nesting
+keeps the job inside whole-stage codegen, while the higher-order
+F.aggregate alternative is CodegenFallback and measures GC, not CPU.
 
 Usage: python tools/ceiling_spark.py [mult] [rounds] [repeats] [cycles]
 Writes CEILING_SPARK.json.  Quiet machine required.
@@ -52,18 +56,33 @@ def run_once(cores: int, workdir: str, rounds: int, repeats: int) -> dict:
     p = spark.read.parquet(pages_path)
     n_docs = p.count()
 
-    h = F.xxhash64("text")
-    for i in range(rounds):
-        h = F.xxhash64(h, F.lit(i))
-    # try_sum: a plain long sum overflows under ANSI mode; the value is
-    # discarded anyway — only the per-row hash work is being timed
-    job = p.select(h.alias("h")).agg(F.try_sum("h").alias("s"))
+    def job_for(run_id: int):
+        # FRESH lineage per run: re-collecting the same DataFrame lets
+        # Spark REUSE the warmup's shuffle files (stage skipping) and
+        # the "measurement" times only the final reduce — measured 0.08 s
+        # for a 5-gigahash job before this fix.  Salting the chain's
+        # first link with the run id changes the DAG, so every run
+        # recomputes end to end.
+        #
+        # The chain is a python-side NESTED expression (depth = rounds,
+        # capped well below Catalyst's ~500-deep analysis stack limit)
+        # over the TEXT column each link, because nesting keeps the whole
+        # job inside WHOLE-STAGE CODEGEN — the tempting alternative,
+        # F.aggregate over a sequence, is CodegenFallback (interpreted,
+        # boxing every long), whose allocation load measures the JVM GC
+        # under thread pressure rather than the host's parallel compute.
+        h = F.xxhash64("text", F.lit(run_id))
+        for i in range(rounds):
+            h = F.xxhash64("text", h)
+        # try_sum: a plain long sum overflows under ANSI mode; the value
+        # is discarded anyway — only the per-row hash work is timed
+        return p.select(h.alias("h")).agg(F.try_sum("h").alias("s"))
 
-    job.collect()                                   # warmup (codegen, JIT)
+    job_for(-1).collect()                           # warmup (codegen, JIT)
     times = []
-    for _ in range(repeats):
+    for r in range(repeats):
         t0 = time.time()
-        job.collect()
+        job_for(r).collect()
         times.append(time.time() - t0)
     dt = min(times)
     spark.stop()
@@ -74,7 +93,7 @@ def run_once(cores: int, workdir: str, rounds: int, repeats: int) -> dict:
 
 def main():
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     cycles = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     sf_dir = "/root/testdata/sf0.1"
