@@ -69,6 +69,7 @@ DRIVER_GATES = [
     # shape, plus the general compiler with arbitrary node names) and the
     # EIGHTH language, added purely as langpacks registry data (item #5)
     "kg_triples_subj_chain", "kg_semgrex", "kg_pos_lemma_it",
+    "kg_pos_lemma_es",
     # never driver-verified before r5 (round-5 newcomers, one green round)
     "kg_triples_chain", "kg_ssurgeon", "kg_tokensregex", "kg_pos_lemma_vi",
     # re-derived this round (weights now TRAINED by a committed Spark job)
@@ -83,7 +84,7 @@ DRIVER_GATES = [
     # KG pipeline core
     "kg_extract_text", "kg_sentences", "kg_tokens", "kg_pos_lemma",
     "kg_constituency", "kg_deps_full_mst",
-    "kg_sentiment", "kg_mentions_multi", "kg_links",
+    "kg_mentions_multi", "kg_links",
     "kg_links_fuzzy", "kg_triples", "kg_triples_stream", "kg_graph_edges",
     "kg_pagerank", "kg_words_routed_pred", "kg_pos_lemma_de",
     "kg_pos_lemma_fr", "kg_components", "kg_coref_chains",
@@ -139,6 +140,8 @@ ROTATED_GATES = [
     "text_redact",         # pure-regexp op, driver-green r4+r5
     "kg_morphseg",         # pure-Catalyst affix grammar, driver-green
                            # r3-r5; slot given to kg_pos_lemma_it
+    "kg_sentiment",        # pure-SQL lexicon vote, driver-green r2-r5;
+                           # slot given to kg_pos_lemma_es
 ]
 
 

@@ -95,6 +95,15 @@ LANG_PACKS: dict[str, LangPack] = {
         default="cap_propn_else_noun",
         default_params=_m({"propn_xpos": "PROPN", "noun_xpos": "NOUN",
                            "noun_lemma": "lower"})),
+    "es": LangPack(
+        # the NINTH language and the first data-only pack over LIVE
+        # corpus rows (es pages ship in the driver corpus; previously
+        # tokenize-only)
+        lexicon=_m(V.ES_LEXICON), mwt=_m(V.ES_MWT_DICT),
+        num=("NUM", "NUM", _DIGIT_FEATS), punct_xpos="PUNCT",
+        default="cap_propn_else_noun",
+        default_params=_m({"propn_xpos": "PROPN", "noun_xpos": "NOUN",
+                           "noun_lemma": "lower"})),
     "ar": LangPack(
         lexicon=_m(V.AR_LEXICON), key="surface", mwt=_m(V.AR_MWT_DICT),
         num=("NUM", "Q---------", _DIGIT_FEATS),

@@ -30,7 +30,7 @@ from .tokenize_sql import sentences_from_pages, tokens_sql
 # carry real MWT expansions, so the routed word stream exercises tuple
 # token ids corpus-wide across three typologically different contraction
 # systems.
-FULL_PIPELINE_LANGS = ("en", "de", "fr", "ar", "it")
+FULL_PIPELINE_LANGS = ("en", "de", "fr", "ar", "it", "es")
 
 
 def route_and_annotate(pages_df: DataFrame,

@@ -26,6 +26,7 @@ from .synth import (
     gold_pos_lemma_fr_select, gold_pos_lemma_ar_select,
     gold_pos_lemma_zh_select, gold_pos_lemma_vi_select,
     gold_pos_lemma_ja_select, gold_pos_lemma_it_select,
+    gold_pos_lemma_es_select,
 )
 from . import vocab as _V
 from .sources.pages import pages
@@ -630,6 +631,20 @@ def q_kg_pos_lemma_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_mwt").cast("int").alias("is_mwt"))
 
 
+def q_kg_pos_lemma_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spanish full-pipeline annotations (op 7 NINTH language): the
+    second langpacks data-only language, and the first upgraded over
+    LIVE corpus rows — es pages ship in the driver corpus (previously
+    tokenize-only), so this gate runs the routed annotator on real
+    corpus text, no twin synthesis."""
+    from .operators.multilingual import route_and_annotate
+    w = route_and_annotate(pages(spark, sf_dir, with_html=False))
+    return w.filter(F.col("lang") == "es").select(
+        "url", "sent_id", "word_id", F.col("text").alias("word"),
+        "upos", "xpos", "feats", "lemma",
+        F.col("is_mwt").cast("int").alias("is_mwt"))
+
+
 def q_kg_pos_lemma_it(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Italian full-pipeline annotations (op 7 EIGHTH language) — the
     language that exists ONLY as a langpacks.LANG_PACKS registry entry
@@ -826,6 +841,7 @@ KG_QUERIES = {
     "kg_pos_lemma_zh": q_kg_pos_lemma_zh,
     "kg_pos_lemma_vi": q_kg_pos_lemma_vi,
     "kg_pos_lemma_it": q_kg_pos_lemma_it,
+    "kg_pos_lemma_es": q_kg_pos_lemma_es,
     "kg_pos_lemma_ja": q_kg_pos_lemma_ja,
     "kg_learned_decode": q_kg_learned_decode,
     "kg_components": q_kg_components,
@@ -935,6 +951,7 @@ def kg_oracles() -> dict[str, str]:
         "kg_pos_lemma_vi": gold_pos_lemma_vi_select(d),
         "kg_pos_lemma_ja": gold_pos_lemma_ja_select(d),
         "kg_pos_lemma_it": gold_pos_lemma_it_select(d),
+        "kg_pos_lemma_es": gold_pos_lemma_es_select(d),
         "kg_learned_decode": _learned_decode_oracle(d),
         "kg_components": gold_components_select(d),
         "kg_coref": gold_coref_select(d),

@@ -654,6 +654,13 @@ def gold_pos_lemma_ar_select(d: Dialect) -> str:
                                        lang_filter=False)
 
 
+def gold_pos_lemma_es_select(d: Dialect) -> str:
+    """Spanish full-pipeline gold over the LIVE corpus es rows (ninth
+    language; the first langpacks data-only language measured on driver
+    corpus pages rather than a synthesized twin)."""
+    return _gold_pos_lemma_lang_select(d, "es")
+
+
 def it_pages_select(d: Dialect) -> str:
     """Italian twin corpus (EIGHTH language — langpacks registry data
     only): one page per document; the template carries both romance MWT

@@ -564,6 +564,34 @@ IT_MWT_DICT = {
     "all'": ["a", "l'"],
 }
 
+# --------------------------------------------------------------------------
+# Spanish "model" (NINTH language, round 6) — the registry's second
+# data-only language, and the first added over LIVE corpus rows: es has
+# shipped in the driver corpus since round 1 as tokenize-only; this
+# lexicon + the del/al MWT dict + one langpacks entry upgrade it to the
+# full pipeline with zero new code.  Same xpos convention as fr/it
+# (mirror upos; participle VPP feeds the shared passive rule).
+# Format: word(lower) -> (upos, xpos, feats, lemma).
+# --------------------------------------------------------------------------
+
+ES_LEXICON = {
+    "el": ("DET", "DET", "Definite=Def|Gender=Masc|Number=Sing|PronType=Art", "el"),
+    "la": ("DET", "DET", "Definite=Def|Gender=Fem|Number=Sing|PronType=Art", "el"),
+    "informe": ("NOUN", "NOUN", "Gender=Masc|Number=Sing", "informe"),
+    "de": ("ADP", "ADP", "_", "de"),
+    "a": ("ADP", "ADP", "_", "a"),
+    "en": ("ADP", "ADP", "_", "en"),
+    "fue": ("AUX", "AUX", "Mood=Ind|Number=Sing|Person=3|Tense=Past|VerbForm=Fin", "ser"),
+    "publicado": ("VERB", "VPP", "Gender=Masc|Number=Sing|Tense=Past|VerbForm=Part|Voice=Pass", "publicar"),
+    "ministerio": ("NOUN", "NOUN", "Gender=Masc|Number=Sing", "ministerio"),
+}
+
+# preposition-article contractions (Spanish has exactly two)
+ES_MWT_DICT = {
+    "del": ["de", "el"],
+    "al": ["a", "el"],
+}
+
 # preposition-article contractions (the reference's fr MWT expansions:
 # test_french_pipeline.py golden `du` -> (de, le); `aux` -> (à, les))
 FR_MWT_DICT = {
