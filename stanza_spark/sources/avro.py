@@ -259,3 +259,38 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
     ],
 }
+
+# the Iceberg v2 manifest-FILE entry schema (spec "Manifests"): the
+# required fields; the optional per-column stats maps are omitted (they
+# are nullable in the spec; the engine's stats live in the JSON twin's
+# footer-derived min/max, which drive its manifest pruning)
+MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "manifest_entry",
+    "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "field-id": 4},
+        {"name": "data_file", "field-id": 2, "type": {
+            "type": "record", "name": "r2",
+            "fields": [
+                {"name": "content", "type": "int", "field-id": 134},
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string",
+                 "field-id": 101},
+                # unpartitioned spec: an EMPTY struct (encodes as zero
+                # bytes — the spec's partition tuple for spec-id 0)
+                {"name": "partition", "field-id": 102, "type": {
+                    "type": "record", "name": "r102", "fields": []}},
+                {"name": "record_count", "type": "long",
+                 "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long",
+                 "field-id": 104},
+            ]}},
+    ],
+}
+
+#: manifest_entry.status values (Iceberg spec)
+STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2

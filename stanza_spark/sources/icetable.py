@@ -163,13 +163,15 @@ class IceTable:
 
         Wire pieces that DIFFER from Apache Iceberg, precisely:
 
-        * **manifest files**: manifest LISTS are real Avro since round 6
-          (``metadata/snap-v<N>.avro``, Iceberg v2 manifest-list schema,
-          pure-Python OCF encoder in sources/avro.py) and each
-          snapshot's ``manifest-list`` entry points there; but the
-          ``manifest_path`` inside still points at the inline-JSON
-          manifest ``v<N>.json`` — per-data-file Avro MANIFEST FILES are
-          the remaining wire difference.
+        * **per-column stats**: manifest LISTS (``snap-v<N>.avro``) and
+          per-data-file MANIFEST FILES (``manifest-v<N>.avro``,
+          manifest_entry schema with ADDED/EXISTING statuses and file
+          stats) are both real Avro since round 6 (pure-Python OCF
+          encoder, sources/avro.py); what remains unpopulated are the
+          manifest entries' OPTIONAL per-column stats maps
+          (lower/upper bounds, null counts) — the engine's min/max
+          pruning stats live in the JSON twin ``v<N>.json``, which
+          stays the operational manifest for reads.
         * **sequence numbers**: Iceberg tracks per-file data sequence
           numbers for row-level deletes; this format has no delete
           files, so ``sequence-number`` == the snapshot version.
@@ -354,15 +356,57 @@ class IceTable:
     def _manifest_list_path(self, version: int) -> str:
         return os.path.join(self.meta_dir, f"snap-v{version}.avro")
 
+    def _manifest_file_path(self, version: int) -> str:
+        return os.path.join(self.meta_dir, f"manifest-v{version}.avro")
+
+    def _write_manifest_file(self, version: int, snap: dict,
+                             prev_files: set) -> str:
+        """``manifest-v<N>.avro``: the per-data-file Avro MANIFEST FILE
+        (Iceberg v2 ``manifest_entry`` schema, round 6 — closes the gap
+        the round-6 manifest LIST left open): one entry per data file
+        with status ADDED for this snapshot's new files and EXISTING for
+        carried ones, file stats from the committed JSON manifest.  The
+        JSON manifest stays the engine's operational twin (reads and
+        min/max pruning use it); per-column stats maps are the remaining
+        optional fields not populated."""
+        from .avro import (MANIFEST_ENTRY_SCHEMA, STATUS_ADDED,
+                           STATUS_EXISTING, write_container)
+
+        recs = []
+        for m in snap["manifest"]:
+            existing = m["file"] in prev_files
+            recs.append({
+                "status": STATUS_EXISTING if existing else STATUS_ADDED,
+                "snapshot_id": version,
+                "sequence_number": None if existing else version,
+                "file_sequence_number": None if existing else version,
+                "data_file": {
+                    "content": 0,
+                    "file_path": f"data/{m['file']}",
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": m["rows"],
+                    "file_size_in_bytes": os.path.getsize(
+                        os.path.join(self.data_dir, m["file"])),
+                }})
+        path = self._manifest_file_path(version)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(write_container(
+                MANIFEST_ENTRY_SCHEMA, recs,
+                meta={"format-version": "2", "content": "data",
+                      "partition-spec-id": "0"}))
+        os.rename(tmp, path)
+        return path
+
     def _write_manifest_list(self, version: int, snap: dict,
                              manifest_json_path: str) -> str:
         """``snap-v<N>.avro``: a REAL Avro object container file in the
         Iceberg v2 manifest-list schema (r5 judge item #6) — pure-Python
         encoder, spec-pinned byte layout (sources/avro.py; fastavro is
         absent from this container, measured in tests/test_avro.py).
-        One manifest entry per snapshot: ``manifest_path`` points at the
-        JSON manifest (v<N>.json) — per-data-file Avro MANIFEST FILES
-        remain the one enumerated wire difference."""
+        One manifest entry per snapshot, pointing at the snapshot's Avro
+        manifest FILE (manifest-v<N>.avro)."""
         from .avro import MANIFEST_LIST_SCHEMA, write_container
 
         base = snap["parent"]
@@ -370,9 +414,12 @@ class IceTable:
         prev = self._snapshot(base) if is_append else None
         prev_rows = prev["rows"] if prev else 0
         prev_files = prev["n_files"] if prev else 0
+        mf_path = self._write_manifest_file(
+            version, snap,
+            {m["file"] for m in prev["manifest"]} if prev else set())
         rec = {
-            "manifest_path": f"metadata/v{version}.json",
-            "manifest_length": os.path.getsize(manifest_json_path),
+            "manifest_path": f"metadata/manifest-v{version}.avro",
+            "manifest_length": os.path.getsize(mf_path),
             "partition_spec_id": 0,
             "content": 0,                      # data (no delete manifests)
             "sequence_number": version,

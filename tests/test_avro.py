@@ -154,11 +154,33 @@ def test_icetable_snapshot_writes_avro_manifest_list(spark, tmp_path):
     assert schema["name"] == "manifest_file"
     assert len(recs) == 1
     r = recs[0]
-    assert r["manifest_path"] == "metadata/v2.json"
+    assert r["manifest_path"] == "metadata/manifest-v2.avro"
     assert r["added_rows_count"] == 5
     assert r["existing_rows_count"] == 10
     assert r["added_snapshot_id"] == 2 and r["sequence_number"] == 2
     assert r["content"] == 0 and r["deleted_files_count"] == 0
+    # manifest_length is the actual byte size of the manifest FILE
+    mf2 = os.path.join(str(tmp_path / "tbl"), "metadata",
+                       "manifest-v2.avro")
+    assert r["manifest_length"] == os.path.getsize(mf2)
     m = t.iceberg_metadata()
     assert [s["manifest-list"] for s in m["snapshots"]] == [
         "metadata/snap-v1.avro", "metadata/snap-v2.avro"]
+    # the per-data-file Avro MANIFEST FILE: entry statuses split the
+    # append's new files (ADDED) from the carried v1 files (EXISTING),
+    # row counts and byte sizes match the real data files
+    with open(mf2, "rb") as f:
+        mschema, mmeta, ments = read_container(f.read())
+    assert mschema["name"] == "manifest_entry"
+    statuses = sorted(e["status"] for e in ments)
+    assert 1 in statuses and 0 in statuses            # added + existing
+    assert sum(e["data_file"]["record_count"] for e in ments) == 15
+    for e in ments:
+        dp = os.path.join(str(tmp_path / "tbl"), e["data_file"]["file_path"])
+        assert os.path.getsize(dp) == e["data_file"]["file_size_in_bytes"]
+        assert e["data_file"]["file_format"] == "PARQUET"
+        assert e["data_file"]["partition"] == {}      # unpartitioned
+        if e["status"] == 0:                          # existing: null seq
+            assert e["sequence_number"] is None
+        else:
+            assert e["sequence_number"] == 2

@@ -255,7 +255,8 @@ def test_iceberg_metadata_shape(spark, tmp_path):
     for s in snaps:
         assert s["summary"]["operation"] in ("append", "overwrite")
         assert all(isinstance(v, str) for v in s["summary"].values())
-        assert s["manifest-list"].startswith("metadata/v")
+        # round 6: every fresh commit carries a real Avro manifest list
+        assert s["manifest-list"] == f"metadata/snap-v{s['snapshot-id']}.avro"
     log = md["snapshot-log"]
     assert [e["snapshot-id"] for e in log] == [1, 2]
     assert log[0]["timestamp-ms"] <= log[1]["timestamp-ms"]
