@@ -174,21 +174,24 @@ class Pipeline:
         from .sources.conllu import render_document
         return render_document(text)
 
-    def semgrex(self, docs, pattern: str) -> DataFrame:
+    def semgrex(self, docs, pattern: str,
+                uniq: bool = False) -> DataFrame:
         """General Semgrex matching with ARBITRARY named nodes — every
         named node becomes an output column (the reference names any
         node; triples() is the subj/obj special case).  One row per root
         binding satisfying every clause.  The full bounded grammar is
         :mod:`~stanza_spark.operators.semgrex` — nested relation chains
         to any depth, governor direction ``<``, bounded ``>>`` dominance,
-        negation; a bare ``{}`` root defaults to VERB here (the facade is
-        verb-rooted like the reference's patterns)."""
+        negation, relation regexes, optional ``?``-clauses; a bare
+        ``{}`` root defaults to VERB here (the facade is verb-rooted
+        like the reference's patterns).  ``uniq=True`` collapses
+        duplicate output rows (the Semgrex CLI's uniq post-step)."""
         if "depparse" not in self.processors:
             raise PipelineRequirementsException(
                 "semgrex requires the depparse processor")
         from .operators.triples import match_dep_pattern
         w = self.process(docs).localCheckpoint(eager=True)
-        return match_dep_pattern(w, pattern)
+        return match_dep_pattern(w, pattern, uniq=uniq)
 
     def ssurgeon(self, docs, rules) -> DataFrame:
         """Dependency-graph surgery from the facade — the reference's

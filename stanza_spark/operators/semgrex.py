@@ -14,9 +14,13 @@ to :data:`MAX_NEST_DEPTH`):
     node     :=  '{' attrs '}' ('=' name)?         # attrs: upos:A|B,
                                                    #        lemma:/re/
     clause   :=  '!>' rels '{' '}'                 # negation (bare node)
-              |  '>>' rels ('=' name)? target      # dominance (bounded)
-              |  '>'  rels ('=' name)? target      # child arc
-              |  '<'  rels ('=' name)? target      # governor arc
+              |  '?'? '>>' rels ('=' name)? target # dominance (bounded)
+              |  '?'? '>'  rels ('=' name)? target # child arc
+              |  '?'? '<'  rels ('=' name)? target # governor arc
+                   # '?' prefix = OPTIONAL clause (Semgrex optionality):
+                   # matched greedily when present, the named column is
+                   # NULL when absent, the parent binding survives either
+                   # way; an optional target must be a LEAF node
     target   :=  node  |  '(' node clause* ')'     # group = nested chain
     rels     :=  REL ('|' REL)*  |  '/' regex '/'  # literal set or
                                                    # whole-name regex
@@ -88,6 +92,7 @@ class SemClause:
     rels: tuple[str, ...] | None
     node: SemNode | None  # None only for kind == 'neg'
     rels_re: str | None = None
+    optional: bool = False
 
 
 def _rel_cond(c: SemClause):
@@ -100,7 +105,7 @@ def _rel_cond(c: SemClause):
 
 _NODE_RE = re.compile(r"\s*\{([^}]*)\}\s*(?:=(\w+))?")
 _CLAUSE_RE = re.compile(
-    r"\s*(!>|>>|>|<)(?:([\w:|]+)|/((?:[^/\\]|\\.)+)/)\s*(?:=(\w+))?")
+    r"\s*(\??)(!>|>>|>|<)(?:([\w:|]+)|/((?:[^/\\]|\\.)+)/)\s*(?:=(\w+))?")
 
 
 def _parse_node(pattern: str, pos: int, depth: int,
@@ -127,11 +132,16 @@ def _parse_node(pattern: str, pos: int, depth: int,
         if counters["clauses"] > MAX_CLAUSES:
             raise ValueError(
                 f"semgrex: more than {MAX_CLAUSES} clauses")
-        op, rels, rels_re, cname = (cm.group(1), cm.group(2),
-                                    cm.group(3), cm.group(4))
+        opt, op, rels, rels_re, cname = (cm.group(1) == "?", cm.group(2),
+                                         cm.group(3), cm.group(4),
+                                         cm.group(5))
         pos = cm.end()
         rel_tuple = tuple(rels.split("|")) if rels is not None else None
         if op == "!>":
+            if opt:
+                raise ValueError(
+                    "semgrex: a negation cannot be optional (?!> is "
+                    "vacuous — it constrains nothing)")
             if cname is not None:
                 raise ValueError(
                     "semgrex: a negated node cannot be named "
@@ -175,8 +185,13 @@ def _parse_node(pattern: str, pos: int, depth: int,
                     f"(={cname} vs ={child.name})")
             child = SemNode(cname, child.upos, child.lemma_re,
                             child.clauses)
+        if opt and child.clauses:
+            raise ValueError(
+                "semgrex: an optional clause's target must be a LEAF "
+                "node (nested clauses below an optional are outside the "
+                "subset)")
         clauses.append(SemClause(kind, rel_tuple, child,
-                                 rels_re=rels_re))
+                                 rels_re=rels_re, optional=opt))
     return SemNode(name, upos, lemma_re, tuple(clauses)), pos
 
 
@@ -257,6 +272,7 @@ class _Compiler:
                 b = b.join(veto, ["url", "sent_id", pcol], "left_anti")
                 continue
             ccol = self._col_for(c.node)
+            how = "left" if c.optional else "inner"
             if c.kind == "child":
                 cand = _attr_filter(
                     self.words.filter(_rel_cond(c)),
@@ -267,7 +283,7 @@ class _Compiler:
                     .orderBy(ccol)
                 first = (cand.withColumn("_rn", F.row_number().over(w))
                          .filter(F.col("_rn") == 1).drop("_rn"))
-                b = b.join(first, ["url", "sent_id", pcol])
+                b = b.join(first, ["url", "sent_id", pcol], how)
             elif c.kind == "desc":
                 # bounded-depth closure: desc_depth-1 extra self-joins on
                 # the sentence key (Semgrex dominates), first match by
@@ -297,19 +313,21 @@ class _Compiler:
                 first = (cand.withColumn("_rn", F.row_number().over(w))
                          .filter(F.col("_rn") == 1)
                          .select("url", "sent_id", pcol, ccol))
-                b = b.join(first, ["url", "sent_id", pcol])
+                b = b.join(first, ["url", "sent_id", pcol], how)
             elif c.kind == "gov":
                 # parent's own deprel must be in rels; its head is the
-                # governor (exactly one per word — no tie-break)
+                # governor (exactly one per word — no tie-break).  The
+                # attr check folds INTO the candidate before the
+                # (possibly left) join so optionality sees one condition
                 par = self.words.filter(_rel_cond(c)) \
                     .select("url", "sent_id",
                             F.col("word_id").alias(pcol),
                             F.col("head").alias(ccol))
-                b = b.join(par, ["url", "sent_id", pcol])
                 if c.node.upos is not None or c.node.lemma_re is not None:
                     gq = _attr_filter(self.words, c.node).select(
                         "url", "sent_id", F.col("word_id").alias(ccol))
-                    b = b.join(gq, ["url", "sent_id", ccol])
+                    par = par.join(gq, ["url", "sent_id", ccol])
+                b = b.join(par, ["url", "sent_id", pcol], how)
             else:  # pragma: no cover — parser emits only the four kinds
                 raise ValueError(f"semgrex: unknown clause kind {c.kind}")
             b = self._apply_clauses(b, c.node, ccol)
@@ -317,12 +335,15 @@ class _Compiler:
 
 
 def match_semgrex(words: DataFrame, pattern: SemNode | str,
-                  desc_depth: int = 3) -> DataFrame:
+                  desc_depth: int = 3, uniq: bool = False) -> DataFrame:
     """General Semgrex matching over the words table.
 
     -> (url, sent_id, <root name> = lemma, <named node> = surface span …)
     one row per root binding satisfying every clause; named-node columns
-    appear in pattern order.  ``desc_depth`` bounds the ``>>`` closure.
+    appear in pattern order; an OPTIONAL clause's named column is NULL
+    where it did not bind.  ``desc_depth`` bounds the ``>>`` closure;
+    ``uniq=True`` collapses duplicate output rows (the Semgrex CLI's
+    uniq post-step) with one distinct over the named columns.
     """
     from .triples import spans
 
@@ -345,9 +366,12 @@ def match_semgrex(words: DataFrame, pattern: SemNode | str,
                         F.coalesce("span_text", "_raw").alias("_surf")))
         for n in named_nonroot:
             idc = comp.id_col[n]
+            # LEFT: an optional clause's binding column is NULL where it
+            # did not bind — the surface column stays NULL with it
             b = b.join(
                 surf.select("url", "sent_id",
                             F.col("word_id").alias(idc),
                             F.col("_surf").alias(n)),
-                ["url", "sent_id", idc])
-    return b.select("url", "sent_id", *names)
+                ["url", "sent_id", idc], "left")
+    out = b.select("url", "sent_id", *names)
+    return out.dropDuplicates() if uniq else out

@@ -270,7 +270,8 @@ def spans(words: DataFrame,
     )
 
 
-def match_dep_pattern(words: DataFrame, pattern: str) -> DataFrame:
+def match_dep_pattern(words: DataFrame, pattern: str,
+                      uniq: bool = False) -> DataFrame:
     """GENERAL Semgrex matching with ARBITRARY named nodes — the
     back-compat name for :func:`~stanza_spark.operators.semgrex
     .match_semgrex`, which owns the full bounded grammar (nested chains
@@ -291,7 +292,7 @@ def match_dep_pattern(words: DataFrame, pattern: str) -> DataFrame:
     root = parse_semgrex(pattern)
     if root.upos is None and root.lemma_re is None:
         root = SemNode(root.name, ("VERB",), None, root.clauses)
-    return match_semgrex(words, root)
+    return match_semgrex(words, root, uniq=uniq)
 
 
 def extract_triples_multi(words: DataFrame,

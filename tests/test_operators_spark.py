@@ -1078,6 +1078,29 @@ def test_semgrex_unified_engine(spark):
     with _pytest.raises(ValueError):
         parse_semgrex("{upos:VERB}=v >/unclosed=x {}")
 
+    # OPTIONAL clauses (round 6, `?` prefix): the PROPN-subject clause
+    # binds where present ("Barack Obama moved...") and yields NULL
+    # where absent ("He visited..." — PRON subject), the parent binding
+    # surviving either way
+    opt = match_semgrex(
+        w, "{upos:VERB}=v >obl|obj=place {upos:PROPN} "
+           "?>nsubj=agent {upos:PROPN}")
+    got = {(r.v, r.place, r.agent) for r in opt.collect()}
+    assert got == {("move", "Tokyo", "Barack Obama"),
+                   ("visit", "London", None)}
+    # uniq collapses duplicate output rows (Semgrex CLI post-step)
+    dup = match_semgrex(w, "{upos:ADP}=p <case=head {}")
+    assert dup.count() >= 2
+    assert match_semgrex(
+        w, "{upos:ADP}=p <case=head {}", uniq=True).count() \
+        == dup.dropDuplicates().count()
+    # optional negation and nested-group optional targets are outside
+    # the subset and fail loudly
+    with _pytest.raises(ValueError):
+        parse_semgrex("{}=v ?!>obl {}")
+    with _pytest.raises(ValueError):
+        parse_semgrex("{}=v ?>obl=x ({} >case=y {})")
+
 
 def test_tsurgeon_actions_and_roundtrip():
     """Tsurgeon analog: relabel / prune / excise on reference-shaped
