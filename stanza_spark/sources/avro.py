@@ -260,10 +260,21 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
+# Iceberg encodes map<int, bytes> as an ARRAY of key/value records
+# (Avro maps take string keys only — spec "Appendix A: Avro schemas")
+def _int_bytes_map(name: str, key_id: int, value_id: int) -> dict:
+    return {"type": "array", "logicalType": "map", "items": {
+        "type": "record", "name": name, "fields": [
+            {"name": "key", "type": "int", "field-id": key_id},
+            {"name": "value", "type": "bytes", "field-id": value_id},
+        ]}}
+
+
 # the Iceberg v2 manifest-FILE entry schema (spec "Manifests"): the
-# required fields; the optional per-column stats maps are omitted (they
-# are nullable in the spec; the engine's stats live in the JSON twin's
-# footer-derived min/max, which drive its manifest pruning)
+# required fields plus the per-column bound maps (lower_bounds /
+# upper_bounds, field ids 125-130) populated from the engine's
+# footer-derived min/max stats; the remaining optional stats
+# (value/null/nan counts, column sizes) stay null
 MANIFEST_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry",
     "fields": [
@@ -288,9 +299,35 @@ MANIFEST_ENTRY_SCHEMA = {
                  "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                {"name": "lower_bounds", "field-id": 125,
+                 "type": ["null", _int_bytes_map("k126_v127", 126, 127)]},
+                {"name": "upper_bounds", "field-id": 128,
+                 "type": ["null", _int_bytes_map("k129_v130", 129, 130)]},
             ]}},
     ],
 }
+
+
+def single_value_bytes(spark_type: str, v) -> bytes | None:
+    """Iceberg single-value binary serialization (spec Appendix D) for
+    the primitive types the table layer admits: int 4-byte LE, long
+    8-byte LE, float 4-byte LE, double 8-byte LE, string UTF-8.  None
+    for types/values outside the subset (the bound is then omitted —
+    bounds are optional per column)."""
+    import struct
+    if isinstance(v, bool):
+        return None
+    if spark_type in ("integer", "short", "byte") and isinstance(v, int):
+        return struct.pack("<i", v)
+    if spark_type == "long" and isinstance(v, int):
+        return struct.pack("<q", v)
+    if spark_type == "float" and isinstance(v, float):
+        return struct.pack("<f", v)
+    if spark_type == "double" and isinstance(v, float):
+        return struct.pack("<d", v)
+    if spark_type == "string" and isinstance(v, str):
+        return v.encode("utf-8")
+    return None
 
 #: manifest_entry.status values (Iceberg spec)
 STATUS_EXISTING, STATUS_ADDED, STATUS_DELETED = 0, 1, 2

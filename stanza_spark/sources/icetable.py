@@ -157,21 +157,21 @@ class IceTable:
 
     def iceberg_metadata(self) -> dict:
         """Serialize the table state as Apache-Iceberg-v2-SHAPED table
-        metadata JSON — the lossless pure-Python half of wire
-        compatibility (the metadata side needs only JSON; the data side
-        would need Avro manifest files, absent from this container).
+        metadata JSON — with the data side's Avro manifest lists and
+        manifest files written at commit time by the pure-Python codec
+        (sources/avro.py).
 
         Wire pieces that DIFFER from Apache Iceberg, precisely:
 
-        * **per-column stats**: manifest LISTS (``snap-v<N>.avro``) and
-          per-data-file MANIFEST FILES (``manifest-v<N>.avro``,
-          manifest_entry schema with ADDED/EXISTING statuses and file
-          stats) are both real Avro since round 6 (pure-Python OCF
-          encoder, sources/avro.py); what remains unpopulated are the
-          manifest entries' OPTIONAL per-column stats maps
-          (lower/upper bounds, null counts) — the engine's min/max
-          pruning stats live in the JSON twin ``v<N>.json``, which
-          stays the operational manifest for reads.
+        * **optional count stats**: manifest LISTS (``snap-v<N>.avro``)
+          and per-data-file MANIFEST FILES (``manifest-v<N>.avro``,
+          manifest_entry schema with ADDED/EXISTING statuses, file
+          stats, AND per-column lower/upper bound maps in the spec's
+          single-value binary serialization) are real Avro since round
+          6 (pure-Python OCF encoder, sources/avro.py); the remaining
+          unpopulated OPTIONAL fields are value/null/nan counts and
+          column byte sizes — the JSON twin ``v<N>.json`` stays the
+          operational manifest for reads and pruning.
         * **sequence numbers**: Iceberg tracks per-file data sequence
           numbers for row-level deletes; this format has no delete
           files, so ``sequence-number`` == the snapshot version.
@@ -370,7 +370,26 @@ class IceTable:
         min/max pruning use it); per-column stats maps are the remaining
         optional fields not populated."""
         from .avro import (MANIFEST_ENTRY_SCHEMA, STATUS_ADDED,
-                           STATUS_EXISTING, write_container)
+                           STATUS_EXISTING, single_value_bytes,
+                           write_container)
+
+        # column name -> (iceberg field id, spark type) — the SAME
+        # sequential id assignment iceberg_metadata publishes
+        field_info = {f["name"]: (i, f["type"])
+                      for i, f in enumerate(snap["schema"]["fields"],
+                                            start=1)
+                      if isinstance(f["type"], str)}
+
+        def bounds_map(stats: dict):
+            out = []
+            for name, v in sorted(stats.items()):
+                if name not in field_info:
+                    continue
+                fid, typ = field_info[name]
+                b = single_value_bytes(typ, v)
+                if b is not None:
+                    out.append({"key": fid, "value": b})
+            return out or None
 
         recs = []
         for m in snap["manifest"]:
@@ -388,6 +407,11 @@ class IceTable:
                     "record_count": m["rows"],
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(self.data_dir, m["file"])),
+                    # per-column bounds (spec Appendix D single-value
+                    # bytes) from the footer-derived JSON stats — the
+                    # same values the engine's own pruning uses
+                    "lower_bounds": bounds_map(m.get("min", {})),
+                    "upper_bounds": bounds_map(m.get("max", {})),
                 }})
         path = self._manifest_file_path(version)
         tmp = path + ".tmp"

@@ -184,3 +184,17 @@ def test_icetable_snapshot_writes_avro_manifest_list(spark, tmp_path):
             assert e["sequence_number"] is None
         else:
             assert e["sequence_number"] == 2
+    # per-column bounds: spec Appendix D single-value bytes — the id
+    # column is field 1 (long, 8-byte little-endian); the overall min
+    # across entries is 0 and the max is 14 (range(10) + ids 10..14)
+    import struct
+    los, his = [], []
+    for e in ments:
+        lb = {b["key"]: b["value"] for b in
+              (e["data_file"]["lower_bounds"] or [])}
+        ub = {b["key"]: b["value"] for b in
+              (e["data_file"]["upper_bounds"] or [])}
+        if 1 in lb:
+            los.append(struct.unpack("<q", lb[1])[0])
+            his.append(struct.unpack("<q", ub[1])[0])
+    assert los and min(los) == 0 and max(his) == 14
