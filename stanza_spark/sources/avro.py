@@ -260,21 +260,22 @@ MANIFEST_LIST_SCHEMA = {
     ],
 }
 
-# Iceberg encodes map<int, bytes> as an ARRAY of key/value records
+# Iceberg encodes map<int, V> as an ARRAY of key/value records
 # (Avro maps take string keys only — spec "Appendix A: Avro schemas")
-def _int_bytes_map(name: str, key_id: int, value_id: int) -> dict:
+def _int_map(name: str, key_id: int, value_id: int,
+             value_type: str) -> dict:
     return {"type": "array", "logicalType": "map", "items": {
         "type": "record", "name": name, "fields": [
             {"name": "key", "type": "int", "field-id": key_id},
-            {"name": "value", "type": "bytes", "field-id": value_id},
+            {"name": "value", "type": value_type, "field-id": value_id},
         ]}}
 
 
 # the Iceberg v2 manifest-FILE entry schema (spec "Manifests"): the
-# required fields plus the per-column bound maps (lower_bounds /
-# upper_bounds, field ids 125-130) populated from the engine's
-# footer-derived min/max stats; the remaining optional stats
-# (value/null/nan counts, column sizes) stay null
+# required fields plus the per-column stats maps — column_sizes /
+# value_counts / null_value_counts (field ids 108-122) and the bound
+# maps (125-130) — all populated from the engine's footer-derived
+# stats; the one stat parquet footers cannot supply is nan_value_counts
 MANIFEST_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry",
     "fields": [
@@ -299,10 +300,21 @@ MANIFEST_ENTRY_SCHEMA = {
                  "field-id": 103},
                 {"name": "file_size_in_bytes", "type": "long",
                  "field-id": 104},
+                {"name": "column_sizes", "field-id": 108,
+                 "type": ["null", _int_map("k117_v118", 117, 118,
+                                           "long")]},
+                {"name": "value_counts", "field-id": 109,
+                 "type": ["null", _int_map("k119_v120", 119, 120,
+                                           "long")]},
+                {"name": "null_value_counts", "field-id": 110,
+                 "type": ["null", _int_map("k121_v122", 121, 122,
+                                           "long")]},
                 {"name": "lower_bounds", "field-id": 125,
-                 "type": ["null", _int_bytes_map("k126_v127", 126, 127)]},
+                 "type": ["null", _int_map("k126_v127", 126, 127,
+                                           "bytes")]},
                 {"name": "upper_bounds", "field-id": 128,
-                 "type": ["null", _int_bytes_map("k129_v130", 129, 130)]},
+                 "type": ["null", _int_map("k129_v130", 129, 130,
+                                           "bytes")]},
             ]}},
     ],
 }

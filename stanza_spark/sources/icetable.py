@@ -66,14 +66,22 @@ def _footer_stats(path: str) -> dict:
     mins: dict = {}
     maxs: dict = {}
     seen: dict = {}   # column -> number of row groups with USABLE stats
+    nulls: dict = {}       # column -> null count (None once unknown)
+    col_bytes: dict = {}   # column -> total compressed bytes
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             st = col.statistics
+            name = col.path_in_schema
+            col_bytes[name] = (col_bytes.get(name, 0)
+                               + col.total_compressed_size)
+            if st is None or not st.has_null_count:
+                nulls[name] = None           # unknown in ANY group -> out
+            elif nulls.get(name, 0) is not None:
+                nulls[name] = nulls.get(name, 0) + st.null_count
             if st is None or not st.has_min_max:
                 continue
-            name = col.path_in_schema
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
@@ -95,6 +103,8 @@ def _footer_stats(path: str) -> dict:
                 if k in complete and isinstance(v, (int, float, str))},
         "max": {k: v for k, v in maxs.items()
                 if k in complete and isinstance(v, (int, float, str))},
+        "nulls": {k: v for k, v in nulls.items() if v is not None},
+        "col_bytes": col_bytes,
     }
 
 
@@ -166,12 +176,13 @@ class IceTable:
         * **optional count stats**: manifest LISTS (``snap-v<N>.avro``)
           and per-data-file MANIFEST FILES (``manifest-v<N>.avro``,
           manifest_entry schema with ADDED/EXISTING statuses, file
-          stats, AND per-column lower/upper bound maps in the spec's
-          single-value binary serialization) are real Avro since round
-          6 (pure-Python OCF encoder, sources/avro.py); the remaining
-          unpopulated OPTIONAL fields are value/null/nan counts and
-          column byte sizes — the JSON twin ``v<N>.json`` stays the
-          operational manifest for reads and pruning.
+          stats, AND per-column stats maps — column sizes, value/null
+          counts, lower/upper bounds in the spec's single-value binary
+          serialization) are real Avro since round 6 (pure-Python OCF
+          encoder, sources/avro.py); the one unpopulated OPTIONAL field
+          is nan_value_counts (parquet footers carry no NaN counts) —
+          the JSON twin ``v<N>.json`` stays the operational manifest
+          for reads and pruning.
         * **sequence numbers**: Iceberg tracks per-file data sequence
           numbers for row-level deletes; this format has no delete
           files, so ``sequence-number`` == the snapshot version.
@@ -391,6 +402,11 @@ class IceTable:
                     out.append({"key": fid, "value": b})
             return out or None
 
+        def long_map(stats: dict):
+            out = [{"key": field_info[n][0], "value": int(v)}
+                   for n, v in sorted(stats.items()) if n in field_info]
+            return out or None
+
         recs = []
         for m in snap["manifest"]:
             existing = m["file"] in prev_files
@@ -407,9 +423,13 @@ class IceTable:
                     "record_count": m["rows"],
                     "file_size_in_bytes": os.path.getsize(
                         os.path.join(self.data_dir, m["file"])),
-                    # per-column bounds (spec Appendix D single-value
-                    # bytes) from the footer-derived JSON stats — the
-                    # same values the engine's own pruning uses
+                    # per-column stats (spec Appendix D single-value
+                    # bytes for bounds) from the footer-derived JSON
+                    # stats — the same values the engine's pruning uses
+                    "column_sizes": long_map(m.get("col_bytes", {})),
+                    "value_counts": long_map(
+                        {n: m["rows"] for n in field_info}),
+                    "null_value_counts": long_map(m.get("nulls", {})),
                     "lower_bounds": bounds_map(m.get("min", {})),
                     "upper_bounds": bounds_map(m.get("max", {})),
                 }})

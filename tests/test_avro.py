@@ -198,3 +198,14 @@ def test_icetable_snapshot_writes_avro_manifest_list(spark, tmp_path):
             los.append(struct.unpack("<q", lb[1])[0])
             his.append(struct.unpack("<q", ub[1])[0])
     assert los and min(los) == 0 and max(his) == 14
+    # count/size stats maps: value counts sum to the row counts, null
+    # counts are zero (no null column values), column sizes positive
+    for e in ments:
+        df_ = e["data_file"]
+        vc = {b["key"]: b["value"] for b in (df_["value_counts"] or [])}
+        assert sum(vc.values()) == df_["record_count"] * len(vc)
+        nc = {b["key"]: b["value"] for b in
+              (df_["null_value_counts"] or [])}
+        assert all(v == 0 for v in nc.values())
+        cs = {b["key"]: b["value"] for b in (df_["column_sizes"] or [])}
+        assert cs and all(v > 0 for v in cs.values())
