@@ -288,7 +288,8 @@ def gold_triples_subj_chain_select(d: Dialect) -> str:
     LIKE guard evaluates per row; t17's pronoun subject never does).
     ``subj_tail`` is the flat child's own text = the name's second
     token."""
-    tmap = {t: tr for t, tr in V.CHAIN_TRIPLES.items() if t != 17}
+    tmap = {t: tr for t, tr in V.CHAIN_TRIPLES.items()
+            if t not in PRON_SUBJ_TIDS}
 
     def case(col_fn):
         whens = "".join(
@@ -321,7 +322,8 @@ def gold_semgrex_select(d: Dialect) -> str:
     "elected"'s oblique year is back because there is no ``!>xcomp``
     veto here — restricted to flat-child subjects like
     :func:`gold_triples_subj_chain_select`."""
-    tmap = {t: tr for t, tr in V.CHAIN_TRIPLES.items() if t != 17}
+    tmap = {t: tr for t, tr in V.CHAIN_TRIPLES.items()
+            if t not in PRON_SUBJ_TIDS}
     tmap[9] = ("P", "elect", "Y", "in")
 
     def case(col_fn):
@@ -400,6 +402,7 @@ MENTION_SLOTS = {
     15: [],
     16: [("PC", "MISC"), ("O", "ORG"), ("Y", "DATE")],
     17: [("G", "GPE"), ("Y", "DATE")],
+    18: [("G", "GPE"), ("Y", "DATE")],
 }
 
 
@@ -1012,9 +1015,15 @@ def gold_links_fuzzy_select(d: Dialect) -> str:
     )
 
 
-PRON_TID = next(i for i, (parts, _) in enumerate(V.TEMPLATES)
-                if parts and isinstance(parts[0], str)
-                and parts[0].startswith("He "))
+#: pronoun-subject templates: tid -> (surface, gender) — derived from
+#: the template text + PRONOUN_FEATS, never hand-synced
+PRON_SUBJ_TIDS = {
+    i: (parts[0].split()[0],
+        V.PRONOUN_FEATS[parts[0].split()[0].lower()][0])
+    for i, (parts, _) in enumerate(V.TEMPLATES)
+    if parts and isinstance(parts[0], str)
+    and parts[0].split() and parts[0].split()[0].lower() in V.PRONOUN_FEATS
+}
 PERSON_TIDS = sorted(t for t, slots in MENTION_SLOTS.items()
                      if any(ty == "PERSON" for _, ty in slots))
 
@@ -1036,22 +1045,38 @@ def gold_coref_select(d: Dialect) -> str:
     tid = _ix("tid", "sent_id")
     pix = _ix("p", "sent_id")
     tids = ", ".join(str(t) for t in PERSON_TIDS)
-    males = ", ".join(str(i) for i, g in enumerate(V.PERSON_GENDERS)
-                      if g == "m")
+    by_gender = {
+        g: ", ".join(str(i) for i, pg in enumerate(V.PERSON_GENDERS)
+                     if pg == g)
+        for g in ("m", "f")}
+    # one gender-restricted person column per gender; one recency window
+    # each — the trained decision reduces to "most recent same-gender
+    # person" on this corpus (all persons carry a known gender)
+    gender_cols = ", ".join(
+        f"CASE WHEN {tid} IN ({tids}) AND ({pix}) IN ({by_gender[g]}) "
+        f"THEN concat('P', {d.cast_str(pix)}) END AS person_{g}"
+        for g in ("m", "f"))
+    pron_case = ("CASE " + " ".join(
+        f"WHEN {tid} = {t} THEN {d.str_lit(surf)}"
+        for t, (surf, _g) in sorted(PRON_SUBJ_TIDS.items())) + " END")
+    pron_gender_case = ("CASE " + " ".join(
+        f"WHEN {tid} = {t} THEN {d.str_lit(g)}"
+        for t, (_surf, g) in sorted(PRON_SUBJ_TIDS.items())) + " END")
     base = (
-        f"SELECT doc_id, url, sent_id, "
-        f"CASE WHEN {tid} IN ({tids}) AND ({pix}) IN ({males}) "
-        f"THEN concat('P', {d.cast_str(pix)}) END AS person_ent, "
-        f"CASE WHEN {tid} = {PRON_TID} THEN 1 ELSE 0 END AS is_pron "
+        f"SELECT doc_id, url, sent_id, {gender_cols}, "
+        f"{pron_case} AS pronoun, {pron_gender_case} AS pron_gender "
         f"FROM ({inner}) WHERE lang = 'en'")
+    win = ("OVER (PARTITION BY doc_id ORDER BY sent_id "
+           "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)")
     resolved = (
-        "SELECT url, sent_id, is_pron, "
-        "last_value(person_ent IGNORE NULLS) OVER ("
-        "PARTITION BY doc_id ORDER BY sent_id "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-        f"AS antecedent_entity FROM ({base})")
-    return (f"SELECT url, sent_id, 'He' AS pronoun, antecedent_entity "
-            f"FROM ({resolved}) WHERE is_pron = 1")
+        "SELECT url, sent_id, pronoun, pron_gender, "
+        + ", ".join(f"last_value(person_{g} IGNORE NULLS) {win} AS last_{g}"
+                    for g in ("m", "f"))
+        + f" FROM ({base})")
+    return (f"SELECT url, sent_id, pronoun, "
+            f"CASE pron_gender WHEN 'm' THEN last_m "
+            f"WHEN 'f' THEN last_f END AS antecedent_entity "
+            f"FROM ({resolved}) WHERE pronoun IS NOT NULL")
 
 
 def gold_coref_chains_select(d: Dialect) -> str:

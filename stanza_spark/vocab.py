@@ -147,10 +147,17 @@ TEMPLATES = [
     (["PC", " joined ", "O", " in ", "Y", "."],
      ("PC", "join", "O", "MISC", "ORG")),
     # 17: pronoun subject — exercises coref (op 20): "He" resolves to the
-    # most recent preceding PERSON mention in the document (the recency
-    # rule, coref_chain.py analog); the triple keeps the surface pronoun.
+    # most recent preceding AGREEMENT-COMPATIBLE person mention (round 6:
+    # the trained gender decision; recency breaks ties); the triple keeps
+    # the surface pronoun.
     (["He visited ", "G", " in ", "Y", "."],
      ("He", "visit", "G", None, "GPE")),
+    # 18 (round 6): the FEMALE pronoun twin — with both pronouns live in
+    # the corpus, the coref gate's agreement decision is load-bearing in
+    # BOTH directions (He skips intervening women, She skips men), not
+    # just the He case.
+    (["She visited ", "G", " in ", "Y", "."],
+     ("She", "visit", "G", None, "GPE")),
 ]
 
 # Grammar-derived triples for the NON-DEFAULT dependency pattern
@@ -181,6 +188,7 @@ OBL_TRIPLES = {
     9:  ("P", "elect", "Y", "PERSON", "DATE"),
     16: ("PC", "join", "Y", "MISC", "DATE"),
     17: ("He", "visit", "Y", None, "DATE"),
+    18: ("She", "visit", "Y", None, "DATE"),
 }
 
 # Grammar-derived rows for the CHAINED Semgrex pattern (kg_triples_chain):
@@ -208,6 +216,7 @@ CHAIN_TRIPLES = {
     7:  ("P", "visit", "Y", "in"),
     16: ("PC", "join", "Y", "in"),
     17: ("He", "visit", "Y", "in"),
+    18: ("She", "visit", "Y", "in"),
 }
 
 # Grammar-derived rows for the TRANSITIVE Semgrex pattern

@@ -234,9 +234,13 @@ def test_multilingual_routing(spark):
     by_lang = {r["lang"]: r["n"] for r in
                w.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert set(by_lang) == {"en", "de", "es", "fr", "zh"}
-    # full annotation exactly where a pipeline config exists (en, de, fr)
-    assert w.filter("lang IN ('en', 'de', 'fr') AND upos IS NULL").count() == 0
-    assert w.filter("lang NOT IN ('en', 'de', 'fr') "
+    # full annotation exactly where a pipeline config exists — since r6
+    # Spanish is a full langpacks language, so among the corpus langs
+    # only zh stays tokenize-only here (it routes via its own segmenter
+    # gate; route_and_annotate's full set is FULL_PIPELINE_LANGS)
+    assert w.filter(
+        "lang IN ('en', 'de', 'fr', 'es') AND upos IS NULL").count() == 0
+    assert w.filter("lang NOT IN ('en', 'de', 'fr', 'es') "
                     "AND upos IS NOT NULL").count() == 0
     # German and French rows carry real MWT expansions (im -> in dem,
     # du -> de le)
@@ -564,27 +568,29 @@ def test_coref_propn_tiebreak_and_same_sentence(spark):
     schema = ("url string, sent_id int, first_word_id int, mention string, "
               "type string, entity_id string")
     rows = [
-        # doc A: Ben ... They  -> chain rep must be 'Ben' via PROPN tiebreak
-        ("a", 0, 0, "Ben", "PERSON", "P1"),
-        ("a", 1, 0, "They", "PRON", None),
+        # doc A: Ben ... He  -> chain rep must be 'Ben' via PROPN
+        # tiebreak (P0 is male, so the agreement decision admits He)
+        ("a", 0, 0, "Ben", "PERSON", "P0"),
+        ("a", 1, 0, "He", "PRON", None),
         # doc B: PERSON and pronoun in the SAME sentence, nothing earlier
         ("b", 0, 0, "Obama", "PERSON", "P0"),
         ("b", 0, 3, "He", "PRON", None),
         # doc C: PERSON in sent 0, pronoun in sent 1 -> resolves
-        ("c", 0, 0, "Curie", "PERSON", "P2"),
+        # (P1 = Marie Curie, female — She agrees)
+        ("c", 0, 0, "Curie", "PERSON", "P1"),
         ("c", 1, 0, "She", "PRON", None),
     ]
     m = spark.createDataFrame(rows, schema)
     chains = coref_chains(m).collect()
     a_chain = [r for r in chains if r.url == "a"]
-    assert sorted(r.member for r in a_chain) == ["Ben", "They"]
+    assert sorted(r.member for r in a_chain) == ["Ben", "He"]
     assert all(r.representative == "Ben" for r in a_chain)
     # doc B: same-sentence person is NOT an antecedent -> no chain forms
     assert not [r for r in chains if r.url == "b"]
     res = {(r.url, r.pronoun): r.antecedent_entity
            for r in resolve_pronouns(m).collect()}
     assert res[("b", "He")] is None       # same sentence: never
-    assert res[("c", "She")] == "P2"      # earlier sentence: yes
+    assert res[("c", "She")] == "P1"      # earlier sentence + agrees: yes
 
 
 def test_merge_ledger_survives_unledgered_merge(spark, tmp_path):

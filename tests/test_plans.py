@@ -193,9 +193,10 @@ def test_no_driver_collect_in_operator_paths():
     allowed = {
         "operators/canonicalize.py": None,  # _checksum: documented
         "eval.py": None,                    # tokenization_f1: fixture-scale
-        # training job: collects count tables bounded by |TAGS|^2, never
-        # corpus rows (documented in train_weights docstring)
+        # training jobs: collect count tables bounded by the tag/feature
+        # space, never corpus rows (documented in each train_weights)
         "operators/learned_train.py": None,
+        "operators/coref_train.py": None,
         # stream-window watermark guard: ONE 1-row max(ts) aggregate
         # asserting the corpus is off the eviction boundary edge
         "queries.py": '["wm"]',
