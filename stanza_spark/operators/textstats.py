@@ -48,31 +48,37 @@ def langid_clean_expr(col):
 def langid(df: DataFrame, spark: SparkSession, id_col: str = "doc_id",
            text_col: str = "text") -> DataFrame:
     """-> (doc_id, lang_pred, score): argmax stopword-hit count per
-    language over the cleaned text; ties lexicographic; no hits -> 'und'."""
-    toks = df.select(
+    language over the cleaned text; ties lexicographic; no hits -> 'und'.
+
+    Physical shape (r7, guide §2.4 "remove shuffles outright"): the
+    stopword vote is ONE narrow projection — per-language hit counts are
+    higher-order array filters over the token array (the stopword lists
+    are ~10 words/language of static code data, folded into the
+    expression), the argmax is ``array_max`` + first-position lookup (ties
+    resolve to the lexicographically first language because the count
+    array is built in sorted language order).  The old plan exploded every
+    token (corpus x tokens rows), broadcast-joined the stopword table and
+    re-aggregated through two hash exchanges plus a distinct and a window;
+    at 100 TB that shuffles the whole tokenized corpus twice for a
+    per-document label.  Zero exchanges now; identical output (one row per
+    input row — every gated caller keys rows by a unique document id)."""
+    langs = sorted(V.STOPWORDS)
+    words = F.split(F.lower(langid_clean_expr(F.col(text_col))),
+                    "[^\\p{L}]+")
+    def _hits(ws):
+        return F.size(F.filter(words, lambda w: w.isin(*ws)))
+
+    counts = F.array(*[_hits(tuple(sorted(V.STOPWORDS[l])))
+                       for l in langs])
+    lang_arr = F.array(*[F.lit(l) for l in langs])
+    best = F.array_max(counts)
+    return df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(langid_clean_expr(F.col(text_col))),
-                          "[^\\p{L}]+")).alias("word"),
-    ).filter(F.col("word") != "")
-    hits = (
-        toks.join(F.broadcast(stopword_df(spark)), "word")
-        .groupBy("doc_id", "lang_cand")
-        .agg(F.count(F.lit(1)).alias("score"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("lang_cand"))
-    best = (
-        hits.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("lang_cand").alias("lang_pred"), "score")
-    )
-    all_docs = df.select(F.col(id_col).alias("doc_id")).distinct()
-    return (
-        all_docs.join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("lang_pred", F.lit("und")).alias("lang_pred"),
-            F.coalesce("score", F.lit(0)).alias("score"))
+        F.when(best > 0,
+               F.element_at(lang_arr, F.array_position(counts, best)
+                            .cast("int")))
+        .otherwise(F.lit("und")).alias("lang_pred"),
+        F.coalesce(best.cast("long"), F.lit(0).cast("long")).alias("score"),
     )
 
 

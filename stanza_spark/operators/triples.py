@@ -337,25 +337,70 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
         "url", "sent_id", F.col("word_id").alias("v_id"),
         F.col(pattern.pred_from).alias("pred"),
     )
-    if pattern.neg_rels:
-        # !>rel {}: drop predicates having ANY child with a negated
-        # deprel — an anti-join, still a narrow per-sentence key
-        veto = words.filter(F.col("deprel").isin(*pattern.neg_rels)).select(
-            "url", "sent_id", F.col("head").alias("v_id"))
-        verbs = verbs.join(veto, ["url", "sent_id", "v_id"], "left_anti")
-    subj = words.filter(F.col("deprel").isin(*pattern.subj_rels)).select(
-        "url", "sent_id", F.col("head").alias("v_id"),
-        F.col("word_id").alias("s_id"),
-    )
+
+    # --- ONE child-aggregate keyed by (url, sent_id, head) serves every
+    # child lookup of the fan (r7, guide §2.3 "aggregate before you
+    # shuffle" / §2.4): subject list, best object (an algebraic
+    # min-struct replaces the row_number window — partial aggregation
+    # absorbs fan-in before the exchange), negation veto, and the chain
+    # firsts.  The r6 plan shuffled the words table once per branch
+    # (subj, obj+window, veto anti-join, two chain windows); this plan
+    # shuffles the pre-filtered child rows exactly once per consumer.
     prio = F.lit(len(pattern.obj_rels) + 1)
     for rank in range(len(pattern.obj_rels) - 1, -1, -1):
         prio = F.when(F.col("deprel") == pattern.obj_rels[rank],
                       rank + 1).otherwise(prio)
+
+    subj_cond = F.col("deprel").isin(*pattern.subj_rels)
+    keep_cond = subj_cond
+    aggs = [F.collect_list(F.when(subj_cond, F.col("word_id")))
+            .alias("subj_ids")]
+    if not pattern.obj_transitive:
+        obj_cond = F.col("deprel").isin(*pattern.obj_rels)
+        keep_cond = keep_cond | obj_cond
+        aggs.append(F.min(F.when(obj_cond, F.struct(
+            prio.alias("prio"), F.col("word_id").alias("o_id"))))
+            .alias("best_obj"))
+    if pattern.neg_rels:
+        neg_cond = F.col("deprel").isin(*pattern.neg_rels)
+        keep_cond = keep_cond | neg_cond
+        aggs.append(F.max(F.when(neg_cond, F.lit(1))).alias("veto"))
+    if pattern.chain_rels is not None:
+        ch_cond = F.col("deprel").isin(*pattern.chain_rels)
+        keep_cond = keep_cond | ch_cond
+        aggs.append(F.min(F.when(ch_cond, F.struct(
+            F.col("word_id").alias("tid"), F.col("text").alias("tail"))))
+            .alias("first_tail"))
+    if pattern.subj_chain_rels is not None:
+        sch_cond = F.col("deprel").isin(*pattern.subj_chain_rels)
+        keep_cond = keep_cond | sch_cond
+        aggs.append(F.min(F.when(sch_cond, F.struct(
+            F.col("word_id").alias("stid"),
+            F.col("text").alias("subj_tail")))).alias("first_subj_tail"))
+    children = (
+        words.filter(keep_cond)
+        .groupBy("url", "sent_id", F.col("head").alias("v_id"))
+        .agg(*aggs)
+    )
+
+    vcols = ["url", "sent_id", "v_id", "subj_ids"]
+    if not pattern.obj_transitive:
+        vcols.append("best_obj")
+    if pattern.neg_rels:
+        vcols.append("veto")
+    t = verbs.join(children.select(*vcols), ["url", "sent_id", "v_id"])
+    if pattern.neg_rels:
+        # !>rel {}: drop predicates having ANY child with a negated
+        # deprel (the former anti-join is a null-check on the aggregate)
+        t = t.filter(F.col("veto").isNull()).drop("veto")
+
     if pattern.obj_transitive:
         # >>rels=obj: the object may be any DESCENDANT within
         # obj_max_depth hops (Semgrex dominates).  Bounded-depth closure
         # = obj_max_depth-1 extra self-joins, all on the (url, sent_id)
-        # sentence key — narrow, co-located, no iteration state.
+        # sentence key — narrow, co-located, no iteration state.  The
+        # first descendant by (rel priority, depth, word order) is an
+        # algebraic min-struct, not a window.
         child = words.select(
             "url", "sent_id", F.col("head").alias("p_id"),
             F.col("word_id").alias("c_id"), "deprel")
@@ -373,34 +418,23 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
                         F.col("c_id").alias("o_id"), "deprel",
                         F.lit(d).alias("depth")))
             desc = desc.unionByName(level)
-        objc = (desc.filter(F.col("deprel").isin(*pattern.obj_rels))
-                .select("url", "sent_id", "v_id", "o_id",
-                        prio.alias("prio"), "depth"))
-        order = ["prio", "depth", "o_id"]
-    else:
-        objc = (
-            words.filter(F.col("deprel").isin(*pattern.obj_rels))
-            .select(
-                "url", "sent_id", F.col("head").alias("v_id"),
-                F.col("word_id").alias("o_id"),
-                prio.alias("prio"),
-            )
+        best_obj = (
+            desc.filter(F.col("deprel").isin(*pattern.obj_rels))
+            .groupBy("url", "sent_id", "v_id")
+            .agg(F.min(F.struct(prio.alias("prio"), F.col("depth"),
+                                F.col("o_id"))).alias("best_obj"))
         )
-        order = ["prio", "o_id"]
-    w = Window.partitionBy("url", "sent_id", "v_id").orderBy(*order)
-    best_obj = (
-        objc.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("url", "sent_id", "v_id", "o_id")
-    )
+        t = t.join(best_obj, ["url", "sent_id", "v_id"])
+    else:
+        t = t.filter(F.col("best_obj").isNotNull())
+    t = (t.withColumn("s_id", F.explode("subj_ids"))
+         .withColumn("o_id", F.col("best_obj.o_id"))
+         .drop("subj_ids", "best_obj"))
 
     sp = spans(words, pattern.expand_rels)
 
     t = (
-        verbs
-        .join(subj, ["url", "sent_id", "v_id"])
-        .join(best_obj, ["url", "sent_id", "v_id"])
-        .join(
+        t.join(
             sp.select("url", "sent_id",
                       F.col("word_id").alias("s_id"),
                       F.col("span_text").alias("subj"),
@@ -419,31 +453,26 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
     tail_cols: list[str] = ["v_id", "s_id", "o_id"] if keep_ids else []
     if pattern.subj_chain_rels is not None:
         # one-hop chain below the SUBJECT (r5 judge item #2 — chains
-        # below any named node of the triple shape): inner join, first
-        # child by word order, window keyed by s_id so partitions stay
-        # sentence-bounded
-        stails = words.filter(
-            F.col("deprel").isin(*pattern.subj_chain_rels)) \
-            .select("url", "sent_id", F.col("head").alias("s_id"),
-                    F.col("word_id").alias("st_id"),
-                    F.col("text").alias("subj_tail"))
-        ws = Window.partitionBy("url", "sent_id", "s_id").orderBy("st_id")
-        first_st = (stails.withColumn("rn", F.row_number().over(ws))
-                    .filter(F.col("rn") == 1).drop("rn", "st_id"))
-        t = t.join(first_st, ["url", "sent_id", "s_id"])
+        # below any named node of the triple shape): a match REQUIRES the
+        # chained child; first child by word order = the same min-struct
+        # aggregate, looked up at head = s_id
+        first_st = children.select(
+            "url", "sent_id", F.col("v_id").alias("s_id"),
+            F.col("first_subj_tail"))
+        t = (t.join(first_st, ["url", "sent_id", "s_id"])
+             .filter(F.col("first_subj_tail").isNotNull())
+             .withColumn("subj_tail", F.col("first_subj_tail.subj_tail"))
+             .drop("first_subj_tail"))
         tail_cols.append("subj_tail")
     if pattern.chain_rels is not None:
-        # one-hop chain below the object: inner join (a match REQUIRES
-        # the chained child), first child by word order; the window key
-        # includes o_id so partitions stay sentence-bounded (no skew)
-        tails = words.filter(F.col("deprel").isin(*pattern.chain_rels)) \
-            .select("url", "sent_id", F.col("head").alias("o_id"),
-                    F.col("word_id").alias("tail_id"),
-                    F.col("text").alias("tail"))
-        wt = Window.partitionBy("url", "sent_id", "o_id").orderBy("tail_id")
-        first_tail = (tails.withColumn("rn", F.row_number().over(wt))
-                      .filter(F.col("rn") == 1).drop("rn", "tail_id"))
-        t = t.join(first_tail, ["url", "sent_id", "o_id"])
+        # one-hop chain below the object: same aggregate at head = o_id
+        first_ch = children.select(
+            "url", "sent_id", F.col("v_id").alias("o_id"),
+            F.col("first_tail"))
+        t = (t.join(first_ch, ["url", "sent_id", "o_id"])
+             .filter(F.col("first_tail").isNotNull())
+             .withColumn("tail", F.col("first_tail.tail"))
+             .drop("first_tail"))
         tail_cols.append("tail")
 
     if mentions is None:

@@ -94,13 +94,28 @@ def q_kg_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "sent_id", "token_id", "token")
 
 
-def _words(spark, sf_dir, cache: bool = False):
+#: column sets the triple join fan / the BIOES mention decode actually
+#: consume — checkpointing only these (guide §2.3 "project before the
+#: exchange") materializes ~60% of the words table's bytes instead of all
+#: 18 columns; at cluster scale the same projection shrinks the stage
+#: table every downstream exchange reads.
+TRIPLE_COLS = ("url", "sent_id", "word_id", "text", "upos", "lemma",
+               "head", "deprel")
+MENTION_COLS = ("url", "sent_id", "word_id", "text", "start_char",
+                "end_char", "ner")
+
+
+def _words(spark, sf_dir, cache: bool = False, cols=None):
     """Annotated words table.  ``cache=True`` persists it — essential for
     the multi-branch triple/graph plans, which otherwise re-execute the
     whole pages->annotate chain once per self-join branch (measured 7x
     recompute = ~20x slowdown at sf0.1).  At cluster scale the equivalent
-    is the materialized stage table in plans.pipeline."""
+    is the materialized stage table in plans.pipeline.  ``cols`` projects
+    the table down to what the caller's plan consumes BEFORE the
+    materialization (r7, guide §2.3)."""
     w = annotate(pages(spark, sf_dir, with_html=False))
+    if cols is not None:
+        w = w.select(*cols)
     # eager localCheckpoint (not lazy persist): concurrent join-branch
     # stages would otherwise race to materialize the cache and each
     # recompute the full lineage
@@ -255,18 +270,26 @@ def q_kg_links_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus char-ngram-Jaccard fuzzy links for the anti-join residue (the
     corrupted PC surfaces planted by the grammar)."""
     # the ensemble consumes mentions in BOTH branches (exact + residue ->
-    # fuzzy); eager-checkpoint so the Arrow annotate pass runs once, not
-    # per branch (same fix as q_kg_triples; measured 4.0 -> 2.7 s at
-    # sf0.1/local[32] with identical output)
-    m = decode_mentions(_words(spark, sf_dir, cache=True)) \
+    # fuzzy), so the MENTIONS table is the one to checkpoint; the words
+    # table has exactly ONE consumer (the BIOES decode), so its former
+    # separate checkpoint was a wasted full materialization pass (r7) —
+    # annotate now streams straight into the decode, projected down to
+    # the 7 columns the decode reads (guide §2.3)
+    m = decode_mentions(_words(spark, sf_dir, cols=MENTION_COLS)) \
         .localCheckpoint(eager=True)
     return link_mentions_with_fallback(m, alias_df(spark))
 
 
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _words(spark, sf_dir, cache=True)
-    m = decode_mentions(w).localCheckpoint(eager=True)
-    return extract_triples(w, m)
+    # r7: checkpoint only the columns the join fan + mention decode read
+    # (11 of 18), and leave the mention decode LAZY — its two consumers
+    # (subj/obj typing) are broadcast build sides over the checkpointed
+    # words, and rebuilding the small decode subtree twice is measurably
+    # cheaper than a third eager materialization job (noop-isolated:
+    # 2.34 s vs 2.66 s for the fan at sf0.1/local[32], identical rows).
+    w = _words(spark, sf_dir, cache=True,
+               cols=sorted(set(TRIPLE_COLS) | set(MENTION_COLS)))
+    return extract_triples(w, decode_mentions(w))
 
 
 def q_kg_triples_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
