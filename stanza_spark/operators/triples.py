@@ -431,23 +431,28 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
          .withColumn("o_id", F.col("best_obj.o_id"))
          .drop("subj_ids", "best_obj"))
 
+    # Subject and object surfaces join the SAME span subtree: the
+    # renames live in the join conditions (not inside the build sides),
+    # so the two sides canonicalize identically and Spark plans ONE
+    # exchange + a ReusedExchange instead of computing the span
+    # aggregation twice (r7, guide §2.4 "share one exchange").
     sp = spans(words, pattern.expand_rels)
-
+    base_cols = [F.col(f"t.{c}") for c in t.columns]
     t = (
-        t.join(
-            sp.select("url", "sent_id",
-                      F.col("word_id").alias("s_id"),
-                      F.col("span_text").alias("subj"),
-                      F.col("last_word_id").alias("s_last")),
-            ["url", "sent_id", "s_id"],
-        )
-        .join(
-            sp.select("url", "sent_id",
-                      F.col("word_id").alias("o_id"),
-                      F.col("span_text").alias("obj"),
-                      F.col("last_word_id").alias("o_last")),
-            ["url", "sent_id", "o_id"],
-        )
+        t.alias("t")
+        .join(sp.alias("sps"),
+              (F.col("t.url") == F.col("sps.url"))
+              & (F.col("t.sent_id") == F.col("sps.sent_id"))
+              & (F.col("t.s_id") == F.col("sps.word_id")))
+        .join(sp.alias("spo"),
+              (F.col("t.url") == F.col("spo.url"))
+              & (F.col("t.sent_id") == F.col("spo.sent_id"))
+              & (F.col("t.o_id") == F.col("spo.word_id")))
+        .select(*base_cols,
+                F.col("sps.span_text").alias("subj"),
+                F.col("sps.last_word_id").alias("s_last"),
+                F.col("spo.span_text").alias("obj"),
+                F.col("spo.last_word_id").alias("o_last"))
     )
 
     tail_cols: list[str] = ["v_id", "s_id", "o_id"] if keep_ids else []
@@ -478,19 +483,27 @@ def extract_triples(words: DataFrame, mentions: DataFrame | None = None,
     if mentions is None:
         return t.select("url", "sent_id", "subj", "pred", "obj", *tail_cols)
 
-    ms_subj = mentions.select(
-        "url", "sent_id",
-        F.col("first_word_id").alias("s_id"),
-        F.col("last_word_id").alias("s_last"),
-        F.col("type").alias("subj_type"),
+    # Same exchange-sharing trick for mention typing: ONE mention-decode
+    # subtree, two alias-qualified left joins — the BIOES decode (two
+    # window passes) runs once per query instead of once per argument.
+    ms = mentions.select("url", "sent_id", "first_word_id",
+                         "last_word_id", "type")
+    t = (
+        t.alias("t")
+        .join(ms.alias("m1"),
+              (F.col("t.url") == F.col("m1.url"))
+              & (F.col("t.sent_id") == F.col("m1.sent_id"))
+              & (F.col("t.s_id") == F.col("m1.first_word_id"))
+              & (F.col("t.s_last") == F.col("m1.last_word_id")), "left")
+        .join(ms.alias("m2"),
+              (F.col("t.url") == F.col("m2.url"))
+              & (F.col("t.sent_id") == F.col("m2.sent_id"))
+              & (F.col("t.o_id") == F.col("m2.first_word_id"))
+              & (F.col("t.o_last") == F.col("m2.last_word_id")), "left")
+        .select(F.col("t.url"), F.col("t.sent_id"), F.col("t.subj"),
+                F.col("t.pred"), F.col("t.obj"),
+                *[F.col(f"t.{c}") for c in tail_cols],
+                F.col("m1.type").alias("subj_type"),
+                F.col("m2.type").alias("obj_type"))
     )
-    ms_obj = mentions.select(
-        "url", "sent_id",
-        F.col("first_word_id").alias("o_id"),
-        F.col("last_word_id").alias("o_last"),
-        F.col("type").alias("obj_type"),
-    )
-    t = t.join(ms_subj, ["url", "sent_id", "s_id", "s_last"], "left")
-    t = t.join(ms_obj, ["url", "sent_id", "o_id", "o_last"], "left")
-    return t.select("url", "sent_id", "subj", "pred", "obj", *tail_cols,
-                    "subj_type", "obj_type")
+    return t

@@ -116,10 +116,19 @@ def _words(spark, sf_dir, cache: bool = False, cols=None):
     w = annotate(pages(spark, sf_dir, with_html=False))
     if cols is not None:
         w = w.select(*cols)
+    if not cache:
+        return w
     # eager localCheckpoint (not lazy persist): concurrent join-branch
     # stages would otherwise race to materialize the cache and each
-    # recompute the full lineage
-    return w.localCheckpoint(eager=True) if cache else w
+    # recompute the full lineage.  The checkpoint keeps the Arrow pass's
+    # 2x-cores partitioning (right for the Python stage), but the k
+    # concurrent build-side scans of the fan each re-pay that task count;
+    # coalesce the READ side to cores/4 so k concurrent scans ~ 2x cores
+    # tasks in flight (scale-adaptive: derived from parallelism, and the
+    # coalesce is narrow — no shuffle).  Measured at sf0.1/local[32]:
+    # kg_triples 3.0 -> 1.7-2.3 s together with the AQE floor fix.
+    scan_parts = max(1, spark.sparkContext.defaultParallelism // 4)
+    return w.localCheckpoint(eager=True).coalesce(scan_parts)
 
 
 def q_kg_pos_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:

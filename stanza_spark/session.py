@@ -32,6 +32,16 @@ def get_spark(app: str = "stanza-spark", cores: int | None = None,
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_ADVISORY_PART", "64m"))
+        # AQE's coalescing floor: with the default 1m floor a byte-light
+        # but compute-heavy intermediate shuffle (window/aggregate over a
+        # few MB) coalesces to 1-2 partitions and serializes on one core
+        # (measured: a 1.1s single-task mention-decode stage at sf0.1
+        # while 31 cores idled).  64k keeps small stages spread up to
+        # defaultParallelism (parallelismFirst remains on); large
+        # shuffles are governed by the advisory size either way, so this
+        # only changes byte-light stages at any scale.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "64k"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1024"))

@@ -227,7 +227,12 @@ def test_new_gate_plans_have_no_cartesian(spark):
         assert "CartesianProduct" not in p, q.__name__
     p = _plan(q_kg_deps_full(spark, SF_SMOKE))
     tree = p.split("== Physical Plan ==")[1].split("\n\n")[0]
-    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    # at most ONE hash exchange (the case-children join on the sentence
+    # key); r7's scan-coalesce on the words checkpoint can satisfy the
+    # aggregate's distribution outright at small core counts (a single
+    # coalesced partition needs no exchange), so 0 is also a valid —
+    # strictly better — shape
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") <= 1
 
 
 def test_dedup_keep_rule_is_window_free(spark):
