@@ -59,24 +59,55 @@ def _char_ngrams(col, n: int = 3):
     ).otherwise(F.array(c))
 
 
-def _minhash_bands(grams: DataFrame, id_col: str, n_bands: int) -> DataFrame:
-    """(id, gram) -> (id, band, band_hash) via the shared MinHash
-    machinery (operators.dedup: affine-mod-Mersenne over md5-prefix
-    hashes, banded)."""
+def surface_features(df: DataFrame, col: str, n: int = 3, *,
+                     k: int | None = None,
+                     n_bands: int | None = None) -> DataFrame:
+    """surface string column -> + ``_grams`` (distinct char n-grams),
+    ``_n`` (their count) and ``_bands`` (LSH band hashes), all in ONE
+    narrow projection — no explode, no aggregation (r7, guide §2.4).
+
+    The arithmetic is bit-identical to the exploded
+    ``dedup.minhash_signatures`` chain (same md5-prefix h32, same
+    affine-mod-Mersenne permutations, same band md5 over the
+    comma-joined signature slice): the per-seed minimum is an
+    ``array_min`` fold over the gram array instead of a shuffled
+    min-aggregate over gram rows.  h32 is materialized once per gram
+    (``_hs``) so the 16 permutations don't re-hash."""
     from . import dedup as D
-    sig = D.minhash_signatures(
-        grams.select(F.col(id_col).alias("doc_id"),
-                     F.col("gram").alias("shingle")))
-    rpb = D.N_HASHES // n_bands
-    return sig.select(
-        F.col("doc_id").alias(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.md5(F.concat_ws(
-                    ",", F.slice("sig", b * rpb + 1, rpb))))
-        ).alias("band", "band_hash"),
-    )
+    if k is None:
+        k = D.N_HASHES
+    if n_bands is None:
+        n_bands = D.N_BANDS
+    if k % n_bands != 0:
+        raise ValueError(f"signature length {k} not divisible by "
+                         f"n_bands {n_bands}")
+    rpb = k // n_bands
+    grams = _char_ngrams(F.col(col), n)
+    df = df.withColumn("_grams", grams).withColumn(
+        "_hs", F.transform(
+            F.col("_grams"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                       .cast("long")))
+    # seeds as array literals + one nested lambda: the expression tree
+    # stays O(1) in k, keeping per-query planning time flat (a 16-way
+    # unrolled variant measurably cost more in Catalyst than it saved)
+    a_arr = F.array(*[F.lit(x) for x in D.SEED_A[:k]])
+    b_arr = F.array(*[F.lit(x) for x in D.SEED_B[:k]])
+    df = df.withColumn(
+        "_sig",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.array_min(F.transform(
+                F.col("_hs"),
+                lambda h: (F.element_at(a_arr, i) * h
+                           + F.element_at(b_arr, i))
+                          % F.lit(D.MERSENNE)))))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.concat_ws(
+            ",", F.slice(F.col("_sig"), b * rpb + F.lit(1), F.lit(rpb)))))
+    return (df.withColumn("_n", F.size("_grams"))
+            .withColumn("_bands", bands).drop("_hs", "_sig"))
 
 
 def fuzzy_link_mentions(mentions: DataFrame, aliases: DataFrame,
@@ -102,48 +133,49 @@ def fuzzy_link_mentions(mentions: DataFrame, aliases: DataFrame,
     8 bands) a J=0.75 pair collides with probability 1-(1-J^2)^8 ≈ 0.999
     over random gram sets, and the planted corpus pairs are asserted
     exactly by the kg_links_fuzzy gate."""
+    from . import dedup as D
+    k = D.N_HASHES
     residue = unlinked_mentions(mentions, aliases)
     surfaces = residue.select(F.lower("mention").alias("m_l")).distinct()
-    m_grams = surfaces.select(
-        "m_l", F.explode(_char_ngrams(F.col("m_l"), n)).alias("gram"))
-    m_sizes = m_grams.groupBy("m_l").agg(F.count(F.lit(1)).alias("m_n"))
-
+    # r7 shape (guide §2.3/§2.4): both sides' gram sets, sizes and LSH
+    # band hashes are ONE narrow projection each (surface_features) —
+    # the old plan ran four explode+groupBy subtrees (m-grams, m-sizes,
+    # a-grams twice, a-sizes) plus two banded signature aggregations.
+    # Candidate verification is `array_intersect` over the carried gram
+    # arrays (same distinct-gram sets, so |intersection| and the exact
+    # Jaccard are bit-identical), and best-alias-per-surface is an
+    # algebraic min-struct (-jaccard, alias_l, ...) instead of a window
+    # — two hash exchanges total (surface distinct + best aggregate).
+    mb = surface_features(surfaces, "m_l", n, k=k, n_bands=n_bands) \
+        .select("m_l", "_grams", F.col("_n").alias("m_n"),
+                F.posexplode("_bands").alias("band", "band_hash"))
     a = aliases.select(F.lower("alias").alias("alias_l"), "entity_id",
                        "canonical_name", "entity_type").distinct()
-    a_grams = a.select(
-        "alias_l", "entity_id", "canonical_name", "entity_type",
-        F.explode(_char_ngrams(F.col("alias_l"), n)).alias("gram"))
-    a_sizes = a_grams.groupBy("alias_l").agg(F.count(F.lit(1)).alias("a_n"))
-
-    cand = (
-        _minhash_bands(m_grams, "m_l", n_bands)
-        .join(F.broadcast(_minhash_bands(
-            a_grams.select("alias_l", "gram"), "alias_l", n_bands)),
-            ["band", "band_hash"])
-        .select("m_l", "alias_l")
-        .distinct()
-    )
-    inter = (
-        m_grams.join(cand, "m_l")
-        .join(F.broadcast(a_grams), ["alias_l", "gram"])
-        .groupBy("m_l", "alias_l", "entity_id", "canonical_name",
-                 "entity_type")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
+    ab = surface_features(a, "alias_l", n, k=k, n_bands=n_bands) \
+        .select("alias_l", "entity_id", "canonical_name", "entity_type",
+                F.col("_grams").alias("a_grams"),
+                F.col("_n").alias("a_n"),
+                F.posexplode("_bands").alias("band", "band_hash"))
+    inter = F.size(F.array_intersect("_grams", "a_grams"))
     scored = (
-        inter.join(m_sizes, "m_l").join(F.broadcast(a_sizes), "alias_l")
+        mb.join(F.broadcast(ab), ["band", "band_hash"])
         .withColumn("jaccard",
-                    F.col("inter")
-                    / (F.col("m_n") + F.col("a_n") - F.col("inter")))
+                    inter / (F.col("m_n") + F.col("a_n") - inter))
         .filter(F.col("jaccard") >= threshold)
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy("m_l").orderBy(
-        F.col("jaccard").desc(), F.col("alias_l").asc())
+    # a pair colliding in several bands scores identically each time, so
+    # the min-aggregate absorbs duplicates without a separate distinct
     best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("m_l", "entity_id", "canonical_name", "entity_type")
+        scored.groupBy("m_l")
+        .agg(F.min(F.struct(
+            (-F.col("jaccard")).alias("nj"),
+            F.col("alias_l").alias("alias_l"),
+            F.col("entity_id").alias("entity_id"),
+            F.col("canonical_name").alias("canonical_name"),
+            F.col("entity_type").alias("entity_type"))).alias("b"))
+        .select("m_l", F.col("b.entity_id").alias("entity_id"),
+                F.col("b.canonical_name").alias("canonical_name"),
+                F.col("b.entity_type").alias("entity_type"))
     )
     return (
         residue.withColumn("m_l", F.lower("mention"))

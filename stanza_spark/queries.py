@@ -121,12 +121,13 @@ def _words(spark, sf_dir, cache: bool = False, cols=None):
     # eager localCheckpoint (not lazy persist): concurrent join-branch
     # stages would otherwise race to materialize the cache and each
     # recompute the full lineage.  The checkpoint keeps the Arrow pass's
-    # 2x-cores partitioning (right for the Python stage), but the k
+    # cores-wide partitioning (right for the Python stage), but the k
     # concurrent build-side scans of the fan each re-pay that task count;
-    # coalesce the READ side to cores/4 so k concurrent scans ~ 2x cores
-    # tasks in flight (scale-adaptive: derived from parallelism, and the
-    # coalesce is narrow — no shuffle).  Measured at sf0.1/local[32]:
-    # kg_triples 3.0 -> 1.7-2.3 s together with the AQE floor fix.
+    # coalesce the READ side to cores/4 so k concurrent scans stay ~2x
+    # cores tasks in flight (scale-adaptive: derived from parallelism,
+    # and the coalesce is narrow — no shuffle).  Measured at
+    # sf0.1/local[32]: kg_triples 3.0 -> 1.7-2.3 s together with the
+    # AQE small-stage floor fix.
     scan_parts = max(1, spark.sparkContext.defaultParallelism // 4)
     return w.localCheckpoint(eager=True).coalesce(scan_parts)
 
@@ -650,7 +651,7 @@ def q_kg_pos_lemma_ar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Dialect("spark")
     parts, _ = V.NON_EN_TEMPLATES["ar"]
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     ar = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
         f"concat('https://ar.example.org/d/', CAST(doc_id AS STRING)) AS url",
         "'ar' AS lang",
@@ -692,7 +693,7 @@ def q_kg_pos_lemma_it(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = Dialect("spark")
     parts, _ = V.NON_EN_TEMPLATES["it"]
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     it = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
         "concat('https://it.example.org/d/', CAST(doc_id AS STRING)) AS url",
         "'it' AS lang",
@@ -719,7 +720,7 @@ def q_kg_pos_lemma_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import vocab as V
 
     d = Dialect("spark")
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     zh = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
         "concat('https://zh.example.org/d/', CAST(doc_id AS STRING)) AS url",
         "'zh' AS lang",
@@ -745,7 +746,7 @@ def q_kg_pos_lemma_vi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import vocab as V
 
     d = Dialect("spark")
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     vi = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
         "concat('https://vi.example.org/d/', CAST(doc_id AS STRING)) AS url",
         "'vi' AS lang",
@@ -770,7 +771,7 @@ def q_kg_pos_lemma_ja(spark: SparkSession, sf_dir: str) -> DataFrame:
     from . import vocab as V
 
     d = Dialect("spark")
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     ja = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
         "concat('https://ja.example.org/d/', CAST(doc_id AS STRING)) AS url",
         "'ja' AS lang",
@@ -794,7 +795,7 @@ def q_kg_learned_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.learned import PATTERNS, learned_decode
     from .sources.pages import documents
 
-    n_parts = 2 * spark.sparkContext.defaultParallelism
+    n_parts = spark.sparkContext.defaultParallelism
     corpus = documents(spark, sf_dir).repartition(n_parts, "doc_id").selectExpr(
         "concat('https://learned.example.org/d/', CAST(doc_id AS STRING)) "
         "AS url",

@@ -30,13 +30,13 @@ def _docs(spark, sf_dir):
     whole narrow shingle/hash chain runs on a single task regardless of
     cores (same rationale as sources.pages: a real corpus arrives in
     thousands of splits).  Repartition to 2x parallelism."""
-    n = 2 * spark.sparkContext.defaultParallelism
+    n = spark.sparkContext.defaultParallelism
     return spark.read.parquet(f"{sf_dir}/documents.parquet") \
         .repartition(n, "doc_id")
 
 
 def _emb(spark, sf_dir):
-    n = 2 * spark.sparkContext.defaultParallelism
+    n = spark.sparkContext.defaultParallelism
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
         .repartition(n, "vec_id")
 

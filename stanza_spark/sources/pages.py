@@ -33,12 +33,18 @@ def pages(spark: SparkSession, sf_dir: str, with_html: bool = True,
     """pages(url, warc_ts, html, text, lang) + doc_id carried for tests.
 
     The local documents parquet is one input split — useless parallelism
-    for the downstream narrow chain.  Repartition to ~2x core count
-    (a real Common-Crawl corpus arrives in thousands of splits; this
-    stands in for that).  Everything after the repartition is narrow.
+    for the downstream narrow chain.  Repartition to core count (a real
+    Common-Crawl corpus arrives in thousands of splits; this stands in
+    for that).  Everything after the repartition is narrow.  ONE wave of
+    cores (r7; was 2x): every task pays a fixed Python-boundary cost in
+    the Arrow annotate passes (worker round-trip + batch plumbing —
+    measured ~0.3s/query of pure task overhead at 2x), docs are
+    uniform-sized so the second wave bought no balance, and at cluster
+    scale split count comes from the file layout anyway (guide §6
+    maxPartitionBytes), not from this simulation knob.
     """
     if n_partitions is None:
-        n_partitions = 2 * spark.sparkContext.defaultParallelism
+        n_partitions = spark.sparkContext.defaultParallelism
     df = documents(spark, sf_dir).repartition(n_partitions, "doc_id").selectExpr(
         "doc_id",
         f"{url_expr(_SPARK)} AS url",
