@@ -70,6 +70,47 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def with_minhash_features(df: DataFrame, grams_col: str = "_grams",
+                          k: int = N_HASHES,
+                          n_bands: int = N_BANDS) -> DataFrame:
+    """df with a distinct-gram array column -> + ``_n`` (gram count) and
+    ``_bands`` (the LSH band hashes), ONE narrow projection — no
+    explode, no aggregation (r7, guide §2.4).
+
+    Bit-identical arithmetic to the exploded ``minhash_signatures``
+    chain: per-seed minima are ``array_min`` folds over the gram array;
+    h32 is materialized once per gram; the seeds are array literals and
+    the permutation is one nested lambda, so the expression tree stays
+    O(1) in ``k`` (a 16-way unrolled variant measurably cost more in
+    Catalyst planning than it saved at runtime)."""
+    if k % n_bands != 0:
+        raise ValueError(f"signature length {k} not divisible by "
+                         f"n_bands {n_bands}")
+    rpb = k // n_bands
+    df = df.withColumn(
+        "_hs", F.transform(
+            F.col(grams_col),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                       .cast("long")))
+    a_arr = F.array(*[F.lit(x) for x in SEED_A[:k]])
+    b_arr = F.array(*[F.lit(x) for x in SEED_B[:k]])
+    df = df.withColumn(
+        "_sig",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.array_min(F.transform(
+                F.col("_hs"),
+                lambda h: (F.element_at(a_arr, i) * h
+                           + F.element_at(b_arr, i))
+                          % F.lit(MERSENNE)))))
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: F.md5(F.concat_ws(
+            ",", F.slice(F.col("_sig"), b * rpb + F.lit(1), F.lit(rpb)))))
+    return (df.withColumn("_n", F.size(grams_col))
+            .withColumn("_bands", bands).drop("_hs", "_sig"))
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
              n: int = 3) -> DataFrame:
     """-> distinct (doc_id, shingle): word n-grams via higher-order array
@@ -180,7 +221,17 @@ def lsh_dedup_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     """The scale path: LSH banding for candidates, exact Jaccard computed
     *only on candidate pairs* — same output contract as jaccard_pairs but
     near-linear shuffle volume (the all-pairs shingle self-join never
-    happens; candidate count is bounded by band-bucket sizes)."""
+    happens; candidate count is bounded by band-bucket sizes).
+
+    Physical-shape note (r7): two narrow rewrites were measured and
+    REJECTED — a fully narrow per-doc minhash (higher-order-function
+    folds are interpreted, not codegen'd: 5x slower corpus-wide than the
+    exploded whole-stage-codegen aggregate) and an array-carried
+    verification via ``array_intersect`` (its ``array_distinct``/
+    intersect kernels on ~130-element string arrays cost more than the
+    three exchanges they replace: 7.1s vs 0.9s for the feature pass at
+    sf0.1/local[32]).  The exploded shape below IS the fast one at both
+    bench and cluster scale; see OPTIMIZATION_r07.md."""
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(minhash_signatures(sh, k), n_bands, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -67,47 +67,18 @@ def surface_features(df: DataFrame, col: str, n: int = 3, *,
     narrow projection — no explode, no aggregation (r7, guide §2.4).
 
     The arithmetic is bit-identical to the exploded
-    ``dedup.minhash_signatures`` chain (same md5-prefix h32, same
-    affine-mod-Mersenne permutations, same band md5 over the
-    comma-joined signature slice): the per-seed minimum is an
-    ``array_min`` fold over the gram array instead of a shuffled
-    min-aggregate over gram rows.  h32 is materialized once per gram
-    (``_hs``) so the 16 permutations don't re-hash."""
+    ``dedup.minhash_signatures`` chain — see
+    :func:`~stanza_spark.operators.dedup.with_minhash_features`, which
+    owns the signature/banding expressions; this wrapper only supplies
+    the char-n-gram set."""
     from . import dedup as D
     if k is None:
         k = D.N_HASHES
     if n_bands is None:
         n_bands = D.N_BANDS
-    if k % n_bands != 0:
-        raise ValueError(f"signature length {k} not divisible by "
-                         f"n_bands {n_bands}")
-    rpb = k // n_bands
-    grams = _char_ngrams(F.col(col), n)
-    df = df.withColumn("_grams", grams).withColumn(
-        "_hs", F.transform(
-            F.col("_grams"),
-            lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
-                       .cast("long")))
-    # seeds as array literals + one nested lambda: the expression tree
-    # stays O(1) in k, keeping per-query planning time flat (a 16-way
-    # unrolled variant measurably cost more in Catalyst than it saved)
-    a_arr = F.array(*[F.lit(x) for x in D.SEED_A[:k]])
-    b_arr = F.array(*[F.lit(x) for x in D.SEED_B[:k]])
-    df = df.withColumn(
-        "_sig",
-        F.transform(
-            F.sequence(F.lit(1), F.lit(k)),
-            lambda i: F.array_min(F.transform(
-                F.col("_hs"),
-                lambda h: (F.element_at(a_arr, i) * h
-                           + F.element_at(b_arr, i))
-                          % F.lit(D.MERSENNE)))))
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.md5(F.concat_ws(
-            ",", F.slice(F.col("_sig"), b * rpb + F.lit(1), F.lit(rpb)))))
-    return (df.withColumn("_n", F.size("_grams"))
-            .withColumn("_bands", bands).drop("_hs", "_sig"))
+    return D.with_minhash_features(
+        df.withColumn("_grams", _char_ngrams(F.col(col), n)),
+        "_grams", k, n_bands)
 
 
 def fuzzy_link_mentions(mentions: DataFrame, aliases: DataFrame,

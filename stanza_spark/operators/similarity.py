@@ -20,14 +20,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F, Window
 
 
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
 def _cosine(a, b):
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-                            F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    # dot / (|a| * |b|) — when a side participates in many pairs,
+    # precompute its _norm ONCE as a column and divide by the product
+    # instead (r7): the float ops are identical (same fold, same sqrt,
+    # same na*nb product), so values are bit-equal, but the per-pair
+    # higher-order-function work drops by ~2/3
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
@@ -36,14 +45,17 @@ def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     each query vector (self excluded)."""
     q = F.broadcast(
         emb.join(query_ids, emb[id_col] == query_ids["query_id"])
-        .select("query_id", F.col(vec_col).alias("qvec"))
+        .select("query_id", F.col(vec_col).alias("qvec"),
+                _norm(F.col(vec_col)).alias("qn"))
     )
     c = emb.select(F.col(id_col).alias("neighbor_id"),
-                   F.col(vec_col).alias("nvec"))
+                   F.col(vec_col).alias("nvec"),
+                   _norm(F.col(vec_col)).alias("nn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", _cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("cos_sim", _dot(F.col("qvec"), F.col("nvec"))
+                    / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -96,7 +108,8 @@ def signlsh_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     Recall vs brute force is asserted in
     tests/test_operators_spark.py::test_signlsh_recall_vs_brute_force."""
     q = emb.join(query_ids, emb[id_col] == query_ids["query_id"])
-    qvecs = q.select("query_id", F.col(vec_col).alias("qvec"))
+    qvecs = q.select("query_id", F.col(vec_col).alias("qvec"),
+                     _norm(F.col(vec_col)).alias("qn"))
     qb = F.broadcast(
         _sign_tables(q, "query_id", vec_col, n_bits, n_tables, "query_id"))
     cb = _sign_tables(emb, id_col, vec_col, n_bits, n_tables, "neighbor_id")
@@ -109,9 +122,11 @@ def signlsh_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     scored = (
         cand
         .join(emb.select(F.col(id_col).alias("neighbor_id"),
-                         F.col(vec_col).alias("nvec")), "neighbor_id")
+                         F.col(vec_col).alias("nvec"),
+                         _norm(F.col(vec_col)).alias("nn")), "neighbor_id")
         .join(F.broadcast(qvecs), "query_id")
-        .withColumn("cos_sim", _cosine(F.col("qvec"), F.col("nvec")))
+        .withColumn("cos_sim", _dot(F.col("qvec"), F.col("nvec"))
+                    / (F.col("qn") * F.col("nn")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -123,16 +138,24 @@ def signlsh_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     )
 
 
-def _cent_scores(vec_col: str):
+def _cent_scores(vec_col: str, norm_col: str):
     """Per-row centroid scores over the broadcast ``cents`` array column:
     array<struct(csim, neg_id)> — neg_id = -cent_id so lexicographic
     struct comparison (csim DESC via max, ties smallest cent_id) matches
-    the oracle's `ORDER BY cos DESC, cent_id`."""
+    the oracle's `ORDER BY cos DESC, cent_id`.  ``norm_col`` carries the
+    row vector's precomputed norm and each struct its centroid's
+    (``cnorm``), so the K scores per row cost K dots, not 3K folds —
+    same float ops, bit-equal csim."""
     return F.transform(
         F.col("cents"),
         lambda c: F.struct(
-            _cosine(F.col(vec_col), c["cvec"]).alias("csim"),
+            (_dot(F.col(vec_col), c["cvec"])
+             / (F.col(norm_col) * c["cnorm"])).alias("csim"),
             (-c["cent_id"]).alias("neg_id")))
+
+
+def _with_cnorm(cent_src: DataFrame) -> DataFrame:
+    return cent_src.withColumn("cnorm", _norm(F.col("cvec")))
 
 
 def kmeans_centroids(emb: DataFrame, id_col: str = "vec_id",
@@ -154,12 +177,13 @@ def kmeans_centroids(emb: DataFrame, id_col: str = "vec_id",
          .alias("cvec"))
     for _ in range(iters):
         carr = F.broadcast(
-            cent.agg(F.array_sort(F.collect_list(
-                F.struct("cent_id", "cvec"))).alias("cents")))
+            _with_cnorm(cent).agg(F.array_sort(F.collect_list(
+                F.struct("cent_id", "cvec", "cnorm"))).alias("cents")))
         assign = (
-            emb.select(F.col(vec_col).alias("v"))
+            emb.select(F.col(vec_col).alias("v"),
+                       _norm(F.col(vec_col)).alias("vn"))
             .crossJoin(carr)
-            .withColumn("best", F.array_max(_cent_scores("v")))
+            .withColumn("best", F.array_max(_cent_scores("v", "vn")))
             .select((-F.col("best.neg_id")).alias("cent_id"), "v")
         )
         cent = assign.groupBy("cent_id").agg(
@@ -207,25 +231,27 @@ def ivf_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
         cent_src = emb.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec"))
     cent = F.broadcast(
-        cent_src.agg(F.array_sort(F.collect_list(
-            F.struct("cent_id", "cvec"))).alias("cents")))
+        _with_cnorm(cent_src).agg(F.array_sort(F.collect_list(
+            F.struct("cent_id", "cvec", "cnorm"))).alias("cents")))
 
     corpus = emb.select(F.col(id_col).alias("neighbor_id"),
-                        F.col(vec_col).alias("nvec"))
+                        F.col(vec_col).alias("nvec"),
+                        _norm(F.col(vec_col)).alias("nn"))
     assign = (
         corpus.crossJoin(cent)
-        .withColumn("best", F.array_max(_cent_scores("nvec")))
+        .withColumn("best", F.array_max(_cent_scores("nvec", "nn")))
         .select("neighbor_id", (-F.col("best.neg_id")).alias("cent_id"),
-                "nvec")
+                "nvec", "nn")
     )
 
     q = emb.join(query_ids, emb[id_col] == query_ids["query_id"]) \
-           .select("query_id", F.col(vec_col).alias("qvec"))
+           .select("query_id", F.col(vec_col).alias("qvec"),
+                   _norm(F.col(vec_col)).alias("qn"))
     probes = (
         q.crossJoin(cent)
         .withColumn("top",
-                    F.slice(F.reverse(F.array_sort(_cent_scores("qvec"))),
-                            1, n_probe))
+                    F.slice(F.reverse(F.array_sort(
+                        _cent_scores("qvec", "qn"))), 1, n_probe))
         .select("query_id", F.explode("top").alias("p"))
         .select("query_id", (-F.col("p.neg_id")).alias("cent_id"))
     )
@@ -238,7 +264,8 @@ def ivf_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .select("query_id", "neighbor_id",
-                _cosine(F.col("qvec"), F.col("nvec")).alias("cos_sim"))
+                (_dot(F.col("qvec"), F.col("nvec"))
+                 / (F.col("qn") * F.col("nn"))).alias("cos_sim"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -260,15 +287,20 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     near-linear; at threshold >= 0.9 recall loss from a sign flip on a
     near-zero coordinate is bounded by n_dims (asserted in tests with
     planted duplicates)."""
-    b = emb.withColumn("bucket", sign_bucket(vec_col, n_dims))
+    b = emb.withColumn("bucket", sign_bucket(vec_col, n_dims)) \
+           .withColumn("_vn", _norm(F.col(vec_col)))
     a = b.select(F.col(id_col).alias("vec_a"),
-                 F.col(vec_col).alias("va"), "bucket")
+                 F.col(vec_col).alias("va"), F.col("_vn").alias("na"),
+                 "bucket")
     c = b.select(F.col(id_col).alias("vec_b"),
-                 F.col(vec_col).alias("vb"), "bucket")
+                 F.col(vec_col).alias("vb"), F.col("_vn").alias("nb"),
+                 "bucket")
     return (
         a.join(c, "bucket")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos_sim",
+                    F.round(_dot(F.col("va"), F.col("vb"))
+                            / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
