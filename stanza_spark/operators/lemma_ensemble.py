@@ -39,8 +39,8 @@ def lemma_dict_df(spark: SparkSession) -> DataFrame:
         rows.append((w, upos, CLOSED_LEMMA.get(w, w)))
     for w, lemma in V.LEMMA_EXCEPTIONS.items():
         rows.append((w, "NOUN", lemma))
-    return spark.createDataFrame(
-        rows, "dword string, dupos string, dlemma string")
+    from ..session import local_values_df
+    return local_values_df(spark, rows, ["dword", "dupos", "dlemma"])
 
 
 def _suffix_rule_lemma(word: str, upos: str) -> str:
@@ -96,8 +96,9 @@ def ensemble_lemmas(words: DataFrame, lemma_dict: DataFrame) -> DataFrame:
 
 
 def mwt_dict_df(spark: SparkSession) -> DataFrame:
+    from ..session import local_values_df
     rows = [(tok, list(parts)) for tok, parts in sorted(V.MWT_DICT.items())]
-    return spark.createDataFrame(rows, "mtok string, parts array<string>")
+    return local_values_df(spark, rows, ["mtok", "parts"])
 
 
 def expand_mwt_relational(tokens: DataFrame, mwt_dict: DataFrame) -> DataFrame:

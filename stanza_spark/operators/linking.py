@@ -17,11 +17,13 @@ from .. import vocab as V
 
 
 def alias_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(
-        V.alias_rows(),
-        schema="alias string, entity_id string, canonical_name string, "
-               "entity_type string",
-    )
+    # VALUES LocalRelation, not createDataFrame: the dictionary is built
+    # into several broadcast sides per query, and a parallelize-backed
+    # DataFrame re-runs a cores-wide Python stage per build (r7)
+    from ..session import local_values_df
+    return local_values_df(
+        spark, V.alias_rows(),
+        ["alias", "entity_id", "canonical_name", "entity_type"])
 
 
 def link_mentions(mentions: DataFrame, aliases: DataFrame,
@@ -107,7 +109,14 @@ def fuzzy_link_mentions(mentions: DataFrame, aliases: DataFrame,
     from . import dedup as D
     k = D.N_HASHES
     residue = unlinked_mentions(mentions, aliases)
-    surfaces = residue.select(F.lower("mention").alias("m_l")).distinct()
+    # eager-checkpoint the distinct miss surfaces (bounded: typo-surface
+    # diversity, not occurrences): downstream feature/banding/scoring
+    # then plans from a materialized tiny table — without it Catalyst
+    # merges the surface-feature pipeline into the distinct's aggregate
+    # stage and re-evaluates the minhash expressions per partial-distinct
+    # row instead of per surface (measured 1.9 -> 1.0 s at sf0.1)
+    surfaces = residue.select(F.lower("mention").alias("m_l")).distinct() \
+        .localCheckpoint(eager=True)
     # r7 shape (guide §2.3/§2.4): both sides' gram sets, sizes and LSH
     # band hashes are ONE narrow projection each (surface_features) —
     # the old plan ran four explode+groupBy subtrees (m-grams, m-sizes,

@@ -15,11 +15,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, Window
 from .. import vocab as V
 
 
-def stopword_df(spark: SparkSession) -> DataFrame:
-    rows = [(lang, w) for lang, ws in sorted(V.STOPWORDS.items()) for w in ws]
-    return spark.createDataFrame(rows, "lang_cand string, word string")
-
-
 # The reference's tweet-cleanup pass before language id
 # (/root/reference/stanza/pipeline/langid_processor.py:60-64): shortened
 # urls, @handles, #hashtags and !./ runs are blanked so they cannot vote.

@@ -15,6 +15,40 @@ import os
 from pyspark.sql import SparkSession
 
 
+def local_values_df(spark: SparkSession, rows, columns: list[str]):
+    """Tiny static dictionary -> DataFrame as a pure-JVM ``VALUES``
+    LocalRelation (r7, guide §4 "eliminate the Python boundary").
+
+    ``spark.createDataFrame(list)`` parallelizes the rows through a
+    PythonRDD with defaultParallelism partitions: every *use* of the
+    dictionary then schedules a cores-wide Python-worker stage just to
+    re-emit ~50 constant rows (measured 0.4-2.4 s per query at
+    local[32] for the alias dictionary's two broadcast builds).  A
+    VALUES relation is a LocalRelation: broadcast builds fold it with
+    zero tasks and zero Python workers, at any scale.
+
+    Supports str / int / float / None scalars and flat str lists
+    (rendered as ``array(...)``); values are static code data
+    (vocab tables), escaped for SQL literals."""
+    def lit(v):
+        if v is None:
+            return "CAST(NULL AS STRING)"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, (list, tuple)):
+            return "array(" + ", ".join(lit(x) for x in v) + ")"
+        raise TypeError(f"local_values_df: unsupported value {v!r}")
+
+    values = ", ".join("(" + ", ".join(lit(v) for v in row) + ")"
+                       for row in rows)
+    cols = ", ".join(columns)
+    return spark.sql(f"SELECT * FROM VALUES {values} AS t({cols})")
+
+
 def get_spark(app: str = "stanza-spark", cores: int | None = None,
               shuffle_partitions: int | None = None,
               extra: dict | None = None) -> SparkSession:
