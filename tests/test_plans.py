@@ -356,3 +356,97 @@ def test_no_cartesian_or_row_python_in_any_gate_plan(spark):
         if "BatchEvalPython" in p:
             offenders.append((name, "BatchEvalPython"))
     assert offenders == []
+
+
+# --- round-7 optimization shape gates ------------------------------------
+
+def test_langid_plan_is_narrow(spark):
+    """r7: langid is ONE narrow projection — no explode, no join, no
+    window, no exchange anywhere (the old plan shuffled the tokenized
+    corpus twice for a per-document label)."""
+    from stanza_spark.queries_textops import q_langid
+    p = _plan(q_langid(spark, SF_SMOKE))
+    tree = p.split("== Physical Plan ==")[1].split("\n\n")[0]
+    # one exchange allowed: the explicit input-spread repartition in
+    # pages() (split simulation), same allowance as the narrow triples
+    # plan test
+    assert tree.count("Exchange") == 1
+    assert "Generate" not in tree      # no explode
+    assert "Window" not in tree
+
+
+def test_triple_fan_has_no_window(spark):
+    """r7: the object pick / chain firsts are algebraic min-struct
+    aggregates, not row_number windows (map-side partials absorb fan-in
+    before the exchange).  The mention-TYPING variant still contains the
+    BIOES decode's own lag/sum windows (a different operator); the fan
+    itself must be window-free."""
+    from stanza_spark.queries import _words
+    from stanza_spark.operators.triples import (
+        CHAIN_PATTERN, SUBJ_CHAIN_PATTERN, extract_triples)
+    w = _words(spark, SF_SMOKE, cache=True)
+    for pat in (None, CHAIN_PATTERN, SUBJ_CHAIN_PATTERN):
+        df = extract_triples(w) if pat is None else extract_triples(
+            w, None, pattern=pat)
+        tree = _plan(df).split("== Physical Plan ==")[1].split("\n\n")[0]
+        assert "Window" not in tree, pat
+        assert "WindowGroupLimit" not in tree, pat
+
+
+def test_local_values_df_matches_createDataFrame(spark):
+    """r7: the VALUES LocalRelation path must round-trip the static
+    dictionaries exactly like createDataFrame (incl. quotes, backslashes,
+    NULLs, arrays) while planning as LocalTableScan — zero Python
+    stages."""
+    from stanza_spark.session import local_values_df
+    from stanza_spark import vocab as V
+
+    rows = V.alias_rows()
+    cols = ["alias", "entity_id", "canonical_name", "entity_type"]
+    got = sorted(map(tuple, local_values_df(spark, rows, cols).collect()))
+    want = sorted(map(tuple, spark.createDataFrame(
+        rows, schema="alias string, entity_id string, "
+                     "canonical_name string, entity_type string").collect()))
+    assert got == want
+    tricky = [("it's", "a\\b", None, ["x", "y's"]),
+              ("plain", "e1", "Plain", [])]
+    got2 = local_values_df(spark, tricky,
+                           ["a", "b", "c", "d"]).collect()
+    assert [(r.a, r.b, r.c, list(r.d)) for r in got2] == [
+        ("it's", "a\\b", None, ["x", "y's"]),
+        ("plain", "e1", "Plain", [])]
+    p = _plan(local_values_df(spark, rows, cols))
+    assert "LocalTableScan" in p or "LocalRelation" in p
+    assert "Scan ExistingRDD" not in p
+
+
+def test_minhash_narrow_features_match_exploded(spark):
+    """r7: with_minhash_features (narrow array folds) must reproduce the
+    exploded minhash_signatures chain bit-for-bit — same h32, same
+    affine permutations, same band hashes."""
+    from pyspark.sql import functions as F
+    from stanza_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta different tail here"),
+         (3, "completely unrelated words in this one")],
+        "doc_id int, text string")
+    sh = D.shingles(docs)
+    sig = {r.doc_id: list(r.sig)
+           for r in D.minhash_signatures(sh).collect()}
+    # narrow: same distinct-gram sets as arrays
+    arr = (sh.groupBy("doc_id")
+           .agg(F.collect_list("shingle").alias("_grams")))
+    feat = D.with_minhash_features(arr, "_grams")
+    # recompute the exploded band hashes for comparison
+    rpb = D.N_HASHES // D.N_BANDS
+    import hashlib
+    for r in feat.collect():
+        s = sig[r.doc_id]
+        want_bands = [
+            hashlib.md5(",".join(str(x) for x in s[b*rpb:(b+1)*rpb])
+                        .encode()).hexdigest()
+            for b in range(D.N_BANDS)]
+        assert list(r._bands) == want_bands, r.doc_id
+        assert r._n == len(set(r._grams))
