@@ -235,25 +235,35 @@ def lsh_dedup_pairs(df: DataFrame, threshold: float = 0.8, n: int = 3,
     sh = shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(minhash_signatures(sh, k), n_bands, k=k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verification joins reference ONE canonical shingle subtree and ONE
+    # size-aggregate subtree (renames live in the join conditions, r7
+    # guide §2.4 "share one exchange"): the a-side and b-side
+    # shuffles/builds canonicalize identically and AQE plans
+    # ReusedExchange instead of computing each twice
     inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        cand.alias("c")
+        .join(sh.alias("fa"), F.col("c.doc_a") == F.col("fa.doc_id"))
+        .join(sh.alias("fb"),
+              (F.col("c.doc_b") == F.col("fb.doc_id"))
+              & (F.col("fa.shingle") == F.col("fb.shingle")))
+        .groupBy(F.col("c.doc_a").alias("doc_a"),
+                 F.col("c.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    scored = (
+        inter.alias("i")
+        .join(sizes.alias("sa"), F.col("i.doc_a") == F.col("sa.doc_id"))
+        .join(sizes.alias("sb"), F.col("i.doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("i.inter")
+                    / (F.col("sa.n_sh") + F.col("sb.n_sh")
+                       - F.col("i.inter")), 6))
+    )
     return (
-        inter
-        .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                           F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n_sh").alias("nb")), "doc_b")
-        .withColumn("jaccard",
-                    F.round(F.col("inter") /
-                            (F.col("na") + F.col("nb") - F.col("inter")), 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        scored.filter(F.col("jaccard") >= threshold)
+        .select(F.col("i.doc_a").alias("doc_a"),
+                F.col("i.doc_b").alias("doc_b"), "jaccard")
     )
 
 
