@@ -10,7 +10,7 @@ All pure Spark SQL — each is one narrow projection + at most one aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, Window
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .. import vocab as V
 
