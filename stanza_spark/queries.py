@@ -105,15 +105,25 @@ MENTION_COLS = ("url", "sent_id", "word_id", "text", "start_char",
                 "end_char", "ner")
 
 
-def _words(spark, sf_dir, cache: bool = False, cols=None):
+#: the processors a mentions-only consumer needs: the NER tagger reads
+#: token surfaces only (tag_ner is POS-independent), so POS/lemma/
+#: depparse are dead weight on those paths (guide §1.2 "don't compute
+#: things you throw away"; decoded mentions verified identical)
+MENTION_PROCS = ("tokenize", "mwt", "ner")
+
+
+def _words(spark, sf_dir, cache: bool = False, cols=None,
+           processors=None):
     """Annotated words table.  ``cache=True`` persists it — essential for
     the multi-branch triple/graph plans, which otherwise re-execute the
     whole pages->annotate chain once per self-join branch (measured 7x
     recompute = ~20x slowdown at sf0.1).  At cluster scale the equivalent
     is the materialized stage table in plans.pipeline.  ``cols`` projects
     the table down to what the caller's plan consumes BEFORE the
-    materialization (r7, guide §2.3)."""
-    w = annotate(pages(spark, sf_dir, with_html=False))
+    materialization, and ``processors`` skips annotator stages the
+    caller never reads (r7, guide §2.3 / §1.2)."""
+    w = annotate(pages(spark, sf_dir, with_html=False),
+                 processors=processors)
     if cols is not None:
         w = w.select(*cols)
     if not cache:
@@ -256,12 +266,13 @@ def q_kg_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_mentions(_words(spark, sf_dir)).select(
+    return decode_mentions(_words(spark, sf_dir,
+                                  processors=MENTION_PROCS)).select(
         "url", "sent_id", "mention", "type")
 
 
 def q_kg_links(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = decode_mentions(_words(spark, sf_dir))
+    m = decode_mentions(_words(spark, sf_dir, processors=MENTION_PROCS))
     return link_mentions(m, alias_df(spark))
 
 
@@ -285,7 +296,8 @@ def q_kg_links_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # separate checkpoint was a wasted full materialization pass (r7) —
     # annotate now streams straight into the decode, projected down to
     # the 7 columns the decode reads (guide §2.3)
-    m = decode_mentions(_words(spark, sf_dir, cols=MENTION_COLS)) \
+    m = decode_mentions(_words(spark, sf_dir, cols=MENTION_COLS,
+                               processors=MENTION_PROCS)) \
         .localCheckpoint(eager=True)
     return link_mentions_with_fallback(m, alias_df(spark))
 
@@ -824,7 +836,9 @@ def _learned_decode_oracle(d: Dialect) -> str:
 def q_kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide canonicalization via iterative connected components over
     the alias surfaces of corpus-observed entities."""
-    m = decode_mentions(_words(spark, sf_dir, cache=True))
+    m = decode_mentions(_words(spark, sf_dir, cache=True,
+                               cols=MENTION_COLS,
+                               processors=MENTION_PROCS))
     linked = link_mentions(m, alias_df(spark))
     entities = linked.select("entity_id").distinct()
     nodes = (
