@@ -40,6 +40,8 @@ def prepare_input(sf_dir: str, mult: int, workdir: str) -> str:
         f"SELECT doc_id * {mult} + {k} AS doc_id, text, lang, source, n_chars "
         f"FROM src" for k in range(mult))
     con = duckdb.connect()
+    # a large MULT union exceeds DuckDB's default parser depth (1000)
+    con.execute("SET max_expression_depth TO 100000")
     con.execute(f"CREATE VIEW src AS SELECT * FROM '{sf_dir}/documents.parquet'")
     con.execute(f"COPY ({parts}) TO '{docs}' (FORMAT PARQUET)")
     from stanza_spark.synth import Dialect, pages_select
