@@ -30,13 +30,10 @@ def _norm(v):
                               F.lit(0.0), lambda acc, v: acc + v))
 
 
-def _cosine(a, b):
-    # dot / (|a| * |b|) — when a side participates in many pairs,
-    # precompute its _norm ONCE as a column and divide by the product
-    # instead (r7): the float ops are identical (same fold, same sqrt,
-    # same na*nb product), so values are bit-equal, but the per-pair
-    # higher-order-function work drops by ~2/3
-    return _dot(a, b) / (_norm(a) * _norm(b))
+# cosine = _dot(a, b) / (na * nb): every call site precomputes each
+# side's _norm ONCE as a column (r7) — the float ops are identical
+# (same fold, same sqrt, same na*nb product), so values are bit-equal,
+# but the per-pair higher-order-function work drops by ~2/3.
 
 
 def cosine_topk(emb: DataFrame, query_ids: DataFrame, k: int = 5,
